@@ -1,0 +1,155 @@
+"""Unified CLI — `python -m hybrid_vit_cascade_tpu.cli <cmd>`.
+
+One entry point replaces the reference's 11 training scripts, 4 inference
+scripts and 10 shell launchers (SURVEY.md §2.5-2.7):
+
+  train    — any model family from a JSON config (stagewise for cascade)
+  infer    — checkpoint → NIfTI/PNG/metrics export
+  eval     — full-dataset metric summary (evaluation_metrics.json)
+  inspect  — dump checkpoint keys/shapes
+  bench    — single-chip throughput benchmark (also: repo-root bench.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _load_cfg(args):
+    from .config import Config
+
+    cfg = Config.from_json(args.config) if args.config else Config()
+    if getattr(args, "synthetic", False):
+        cfg.data.synthetic = True
+    if getattr(args, "family", None):
+        cfg.model.family = args.family
+    if getattr(args, "epochs", None) is not None:
+        cfg.training.num_epochs = args.epochs
+    if getattr(args, "save_dir", None):
+        cfg.checkpoints.save_dir = args.save_dir
+    if getattr(args, "data_path", None):
+        cfg.data.dataset_path = args.data_path
+    return cfg
+
+
+def cmd_train(args):
+    import os
+
+    if os.environ.get("HVC_MULTIHOST"):  # multi-host over DCN: same train step
+        import jax
+
+        jax.distributed.initialize()
+
+    from .training import Trainer
+
+    cfg = _load_cfg(args)
+    if getattr(args, "profile_dir", None):
+        cfg.training.profile_dir = args.profile_dir
+    if getattr(args, "debug_nans", False):
+        cfg.training.debug_nans = True
+    trainer = Trainer(cfg)
+    metrics = trainer.fit(lr_override=args.lr, resume=not args.no_resume)
+    print(json.dumps({"final": metrics}))
+
+
+def cmd_infer(args):
+    from .inference import InferenceEngine
+    from .data import SyntheticCTDataset, PatientDRRDataset
+
+    engine = InferenceEngine(args.checkpoint)
+    cfg = engine.cfg
+    if args.synthetic or cfg.data.synthetic:
+        ds = SyntheticCTDataset(num_patients=max(1, args.index + 1),
+                               volume_size=tuple(cfg.model.volume_size), xray_size=cfg.data.xray_size)
+    else:
+        ds = PatientDRRDataset(args.data_path or cfg.data.dataset_path,
+                               target_xray_size=cfg.data.xray_size)
+    item = ds[args.index]
+    upscale = tuple(int(x) for x in args.upscale.split(",")) if args.upscale else None
+    paths = engine.export(item["drr_stacked"][None], args.output, prefix=item["patient_id"],
+                          upscale=upscale, denormalize=args.denormalize)
+    metrics = engine.evaluate_sample(item)
+    print(json.dumps({"exports": paths, "metrics": metrics}, indent=2))
+
+
+def cmd_eval(args):
+    from .inference import InferenceEngine
+    from .data import SyntheticCTDataset, PatientDRRDataset, create_train_val_datasets
+
+    engine = InferenceEngine(args.checkpoint)
+    cfg = engine.cfg
+    if args.synthetic or cfg.data.synthetic:
+        ds = SyntheticCTDataset(num_patients=cfg.data.synthetic_patients,
+                                volume_size=tuple(cfg.model.volume_size), xray_size=cfg.data.xray_size)
+    else:
+        ds = PatientDRRDataset(args.data_path or cfg.data.dataset_path, target_xray_size=cfg.data.xray_size)
+    _, _, test = create_train_val_datasets(ds, cfg.data.train_split, cfg.data.val_split)
+    if len(test) == 0:
+        test = ds
+    summary = engine.evaluate_dataset(test, out_json=args.output)
+    print(json.dumps(summary, indent=2))
+
+
+def cmd_inspect(args):
+    from .inference import inspect_checkpoint
+
+    print(json.dumps(inspect_checkpoint(args.checkpoint), indent=2))
+
+
+def cmd_bench(args):
+    import bench as _bench_mod  # repo-root bench.py
+
+    _bench_mod.main()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="hybrid_vit_cascade_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train", help="train a model family")
+    t.add_argument("--config", default=None)
+    t.add_argument("--family", default=None)
+    t.add_argument("--synthetic", action="store_true")
+    t.add_argument("--epochs", type=int, default=None)
+    t.add_argument("--lr", type=float, default=None, help="LR override on resume")
+    t.add_argument("--save-dir", default=None)
+    t.add_argument("--data-path", default=None)
+    t.add_argument("--no-resume", action="store_true")
+    t.add_argument("--profile-dir", default=None, help="write a jax.profiler trace of the first epoch")
+    t.add_argument("--debug-nans", action="store_true")
+    t.set_defaults(fn=cmd_train)
+
+    i = sub.add_parser("infer", help="reconstruct + export NIfTI/PNG")
+    i.add_argument("--checkpoint", required=True)
+    i.add_argument("--output", default="inference_out")
+    i.add_argument("--index", type=int, default=0)
+    i.add_argument("--data-path", default=None)
+    i.add_argument("--synthetic", action="store_true")
+    i.add_argument("--upscale", default=None, help="D,H,W")
+    i.add_argument("--denormalize", action="store_true", help="export in HU")
+    i.set_defaults(fn=cmd_infer)
+
+    e = sub.add_parser("eval", help="full-dataset metrics")
+    e.add_argument("--checkpoint", required=True)
+    e.add_argument("--output", default="evaluation_metrics.json")
+    e.add_argument("--data-path", default=None)
+    e.add_argument("--synthetic", action="store_true")
+    e.set_defaults(fn=cmd_eval)
+
+    n = sub.add_parser("inspect", help="dump checkpoint keys/shapes")
+    n.add_argument("--checkpoint", required=True)
+    n.set_defaults(fn=cmd_inspect)
+
+    b = sub.add_parser("bench", help="run the throughput benchmark")
+    b.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

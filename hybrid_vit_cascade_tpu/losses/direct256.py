@@ -1,0 +1,208 @@
+"""7-component direct-training loss suite
+(reference: loss_direct256.py + the loss classes in model_direct128_h200.py).
+
+Weights: L1 1.0, SSIM 0.5, FocalFreq 0.2, PerceptualPyramid 0.15, TV 0.02,
+Style3D 0.1, Anatomical 0.3. Per-component non-finite values are zeroed and a
+fallback total (L1+SSIM+TV) replaces a non-finite total — the reference's
+NaN-protection semantics (loss_direct256.py:92-122) expressed as jnp.where
+(branchless, jit-safe) instead of python try/except.
+
+The perceptual/style/anatomical feature nets are *frozen at fixed-seed random
+init*: in the reference they are nn.Modules inside the loss object whose
+parameters are never added to the optimizer (train_direct256_h200.py builds
+AdamW over model.parameters() only), so random-frozen is the behavior the
+recorded baselines were actually trained with.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..models.layers import gelu_exact, group_norm
+from ..ops.fft import fft_magnitude_3d
+from ..ops.resize import resize_trilinear
+from .multiscale import l1_loss, ssim_loss, total_variation_loss
+
+
+def _finite_or_zero(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(jnp.isfinite(x), x, 0.0)
+
+
+def focal_frequency_loss(pred: jnp.ndarray, target: jnp.ndarray, alpha: float = 1.0) -> jnp.ndarray:
+    """FFT-magnitude squared error, focally reweighted by normalized error
+    (model_direct128_h200.py:76-107). fp32, clamped to [0, 100]."""
+    pm = fft_magnitude_3d(pred)
+    tm = fft_magnitude_3d(target)
+    freq_distance = (pm - tm) ** 2
+    matrix_norm = jnp.sum(freq_distance, axis=(-3, -2, -1), keepdims=True)
+    focal_weight = jnp.power(freq_distance / (matrix_norm + 1e-8), alpha)
+    loss = jnp.mean(focal_weight * freq_distance)
+    return _finite_or_zero(jnp.clip(loss, 0.0, 100.0))
+
+
+class _PyramidFeatureNet(nn.Module):
+    """1→32→64→128 conv/GN/GELU feature stack (model_direct128_h200.py:115-125)."""
+
+    @nn.compact
+    def __call__(self, x):  # (B, D, H, W, 1)
+        for ch, g in [(32, 8), (64, 16), (128, 32)]:
+            x = nn.Conv(ch, (3, 3, 3), padding=1)(x)
+            x = group_norm(g)(x)
+            x = gelu_exact(x)
+        return x
+
+
+class _StyleFeatureNet(nn.Module):
+    """1→32→64→64 stack, last conv un-activated (model_direct128_h200.py:166-175)."""
+
+    @nn.compact
+    def __call__(self, x):
+        for ch, g in [(32, 8), (64, 16)]:
+            x = nn.Conv(ch, (3, 3, 3), padding=1)(x)
+            x = group_norm(g)(x)
+            x = gelu_exact(x)
+        return nn.Conv(64, (3, 3, 3), padding=1)(x)
+
+
+class _AttentionNet(nn.Module):
+    """importance map → sigmoid attention (model_direct128_h200.py:216-225)."""
+
+    @nn.compact
+    def __call__(self, x):
+        for ch, g in [(16, 4), (32, 8)]:
+            x = nn.Conv(ch, (3, 3, 3), padding=1)(x)
+            x = group_norm(g)(x)
+            x = gelu_exact(x)
+        return nn.sigmoid(nn.Conv(1, (1, 1, 1))(x))
+
+
+def _to_cl(vol: jnp.ndarray) -> jnp.ndarray:  # (B,1,D,H,W) → (B,D,H,W,1)
+    return jnp.moveaxis(vol, 1, -1).astype(jnp.float32)
+
+
+class Direct256Loss:
+    """Resolution-agnostic 7-component loss (loss_direct256.py:29-133)."""
+
+    def __init__(
+        self,
+        l1_weight: float = 1.0,
+        ssim_weight: float = 0.5,
+        focal_freq_weight: float = 0.2,
+        perceptual_pyramid_weight: float = 0.15,
+        tv_weight: float = 0.02,
+        style_weight: float = 0.1,
+        anatomical_weight: float = 0.3,
+        seed: int = 4242,
+    ):
+        self.w = dict(
+            l1=l1_weight, ssim=ssim_weight, focal=focal_freq_weight,
+            pyramid=perceptual_pyramid_weight, tv=tv_weight, style=style_weight,
+            anatomical=anatomical_weight,
+        )
+        dummy = jnp.zeros((1, 8, 8, 8, 1), jnp.float32)
+        key = jax.random.PRNGKey(seed)
+        k1, k2, k3 = jax.random.split(key, 3)
+        self._pyr = _PyramidFeatureNet()
+        self._pyr_vars = self._pyr.init(k1, dummy)
+        self._style = _StyleFeatureNet()
+        self._style_vars = self._style.init(k2, dummy)
+        self._attn = _AttentionNet()
+        self._attn_vars = self._attn.init(k3, dummy)
+
+    # --- component losses -------------------------------------------------
+    def perceptual_pyramid(self, pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        """L1 of frozen features at scales 1.0/0.5/0.25
+        (model_direct128_h200.py:110-160)."""
+        total = 0.0
+        for scale in (1.0, 0.5, 0.25):
+            if scale != 1.0:
+                size = tuple(int(s * scale) for s in pred.shape[-3:])
+                p = resize_trilinear(pred, size, align_corners=False)
+                t = resize_trilinear(target, size, align_corners=False)
+            else:
+                p, t = pred, target
+            pf = self._pyr.apply(self._pyr_vars, _to_cl(p))
+            tf = self._pyr.apply(self._pyr_vars, _to_cl(t))
+            total = total + jnp.clip(_finite_or_zero(jnp.mean(jnp.abs(pf - tf))), 0.0, 100.0)
+        return _finite_or_zero(total / 3.0)
+
+    def style3d(self, pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        """Gram-matrix MSE of frozen features (model_direct128_h200.py:163-209)."""
+
+        def gram(feat):  # (B, D, H, W, C)
+            B = feat.shape[0]
+            C = feat.shape[-1]
+            flat = feat.reshape(B, -1, C)
+            g = jnp.einsum("bnc,bnd->bcd", flat, flat)
+            norm = max(1.0, float(flat.shape[1] * C))
+            return jnp.clip(g / norm, -1e3, 1e3)
+
+        pf = self._style.apply(self._style_vars, _to_cl(pred))
+        tf = self._style.apply(self._style_vars, _to_cl(target))
+        loss = jnp.mean((gram(pf) - gram(tf)) ** 2)
+        return _finite_or_zero(jnp.clip(loss, 0.0, 100.0))
+
+    def anatomical_attention(self, pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        """0.7·attention-weighted L1 + 0.3·uniform L1, importance = target
+        gradient magnitude (model_direct128_h200.py:212-267)."""
+        t = target.astype(jnp.float32)
+        gd = jnp.abs(t[..., 1:, :, :] - t[..., :-1, :, :])
+        gh = jnp.abs(t[..., :, 1:, :] - t[..., :, :-1, :])
+        gw = jnp.abs(t[..., :, :, 1:] - t[..., :, :, :-1])
+        gd = jnp.pad(gd, [(0, 0)] * (t.ndim - 3) + [(0, 1), (0, 0), (0, 0)])
+        gh = jnp.pad(gh, [(0, 0)] * (t.ndim - 3) + [(0, 0), (0, 1), (0, 0)])
+        gw = jnp.pad(gw, [(0, 0)] * (t.ndim - 3) + [(0, 0), (0, 0), (0, 1)])
+        importance = (gd + gh + gw) / 3.0
+        lo, hi = importance.min(), importance.max()
+        rng = hi - lo
+        importance = jnp.where(rng > 1e-6, (importance - lo) / (rng + 1e-8), jnp.full_like(importance, 0.5))
+        importance = jax.lax.stop_gradient(importance)
+
+        attention = self._attn.apply(self._attn_vars, _to_cl(importance))
+        attention = jnp.moveaxis(attention, -1, 1)
+        weighted = jnp.mean(attention * jnp.abs(pred.astype(jnp.float32) - t))
+        uniform = l1_loss(pred, target)
+        result = 0.7 * jnp.clip(weighted, 0.0, 100.0) + 0.3 * jnp.clip(uniform, 0.0, 100.0)
+        return _finite_or_zero(result)
+
+    # --- combined ---------------------------------------------------------
+    def __call__(self, pred: jnp.ndarray, target: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        l1 = jnp.clip(l1_loss(pred, target), 0.0, 100.0)
+        ssim = jnp.clip(ssim_loss(pred, target), 0.0, 100.0)
+        focal = focal_frequency_loss(pred, target)
+        pyramid = self.perceptual_pyramid(pred, target)
+        tv = jnp.clip(total_variation_loss(pred, target), 0.0, 100.0)
+        style = self.style3d(pred, target)
+        anatomical = self.anatomical_attention(pred, target)
+
+        total = (
+            self.w["l1"] * l1 + self.w["ssim"] * ssim + self.w["focal"] * focal
+            + self.w["pyramid"] * pyramid + self.w["tv"] * tv + self.w["style"] * style
+            + self.w["anatomical"] * anatomical
+        )
+        total = jnp.where(jnp.isfinite(total), total, l1 + ssim + tv)  # fallback (:120-122)
+        return {
+            "total_loss": total,
+            "l1_loss": l1,
+            "ssim_loss": ssim,
+            "focal_freq_loss": focal,
+            "perceptual_pyramid_loss": pyramid,
+            "tv_loss": tv,
+            "style_loss": style,
+            "anatomical_loss": anatomical,
+        }
+
+
+def get_loss_summary_string(loss_dict: Dict[str, jnp.ndarray]) -> str:
+    """Formatted log line (loss_direct256.py:136-147)."""
+    f = lambda k: float(loss_dict[k])
+    return (
+        f"Loss: {f('total_loss'):.4f} | L1: {f('l1_loss'):.4f} | "
+        f"SSIM: {f('ssim_loss'):.4f} | FocalFreq: {f('focal_freq_loss'):.4f} | "
+        f"Perceptual: {f('perceptual_pyramid_loss'):.4f} | TV: {f('tv_loss'):.4f} | "
+        f"Style: {f('style_loss'):.4f} | Anatomical: {f('anatomical_loss'):.4f}"
+    )

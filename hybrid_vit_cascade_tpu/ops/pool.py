@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 
@@ -102,7 +103,12 @@ def max_pool_nd(
         window_dims[ax % ndim] = w
         stride_dims[ax % ndim] = s
         pad_dims[ax % ndim] = (p, p)
-    neg_inf = jnp.asarray(-jnp.inf, x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    # init value must be a concrete scalar (not a traced constant) for JAX to
+    # recognize the differentiable reduce-window-max pattern
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        neg_inf = np.array(-np.inf, x.dtype)
+    else:
+        neg_inf = np.array(np.iinfo(x.dtype).min, x.dtype)
     return lax.reduce_window(
         x, neg_inf, lax.max, tuple(window_dims), tuple(stride_dims), tuple(pad_dims)
     )

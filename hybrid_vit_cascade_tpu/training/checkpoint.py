@@ -1,0 +1,140 @@
+"""Orbax checkpointing with the reference's checkpoint patterns (SURVEY §5):
+
+  (a) triple best-checkpoints by loss/PSNR/SSIM (train_direct256_h200.py:248-305)
+  (b) periodic epoch checkpoints (train_direct_4gpu.py:289-298)
+  (c) partial/filtered restore by key prefix (train_progressive_1gpu.py:211-225)
+      and shape-matched cross-architecture transfer
+      (model_direct256_b200.py:255-298)
+  (d) resume with LR override (resume_direct128.py:230-243) — handled by
+      rebuilding the optimizer in the Trainer after restore
+  (e) config embedded in the checkpoint (inference_direct.py:27-46)
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _flatten(tree, prefix=()):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _flatten(v, prefix + (k,))
+    else:
+        yield prefix, tree
+
+
+class CheckpointManager:
+    """Directory layout: save_dir/{latest, best_loss, best_psnr, best_ssim,
+    epoch_%04d}/ each holding an Orbax pytree + meta.json."""
+
+    def __init__(self, save_dir: str, save_every: int = 10, keep_best: Sequence[str] = ("loss", "psnr", "ssim")):
+        self.save_dir = Path(save_dir)
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+        self.save_every = save_every
+        self.keep_best = tuple(keep_best)
+        self._ckptr = ocp.StandardCheckpointer()
+        self._best: Dict[str, float] = {}
+        self._load_best_records()
+
+    def _load_best_records(self):
+        f = self.save_dir / "best_records.json"
+        if f.exists():
+            self._best = json.loads(f.read_text())
+
+    def _save_best_records(self):
+        (self.save_dir / "best_records.json").write_text(json.dumps(self._best, indent=2))
+
+    def _write(self, name: str, pytree, meta: Dict[str, Any]):
+        path = (self.save_dir / name).absolute()
+        tmp = path.with_suffix(".tmp")
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        self._ckptr.save(tmp, pytree)
+        self._ckptr.wait_until_finished()
+        if path.exists():
+            shutil.rmtree(path)
+        tmp.rename(path)
+        (path / "meta.json").write_text(json.dumps(meta, indent=2, default=float))
+
+    def save(self, pytree, epoch: int, metrics: Dict[str, float], config: Optional[dict] = None) -> Dict[str, bool]:
+        """Save 'latest' (+ periodic) and update best-by-metric checkpoints.
+        metrics: {'loss': val_loss, 'psnr': ..., 'ssim': ...}. Returns which
+        best tags were improved."""
+        if jax.process_index() != 0:
+            return {}
+        meta = {"epoch": epoch, "metrics": metrics, "config": config or {}}
+        self._write("latest", pytree, meta)
+        if self.save_every and (epoch + 1) % self.save_every == 0:
+            self._write(f"epoch_{epoch:04d}", pytree, meta)
+        improved = {}
+        for tag in self.keep_best:
+            if tag not in metrics:
+                continue
+            val = float(metrics[tag])
+            better = (val < self._best.get(tag, np.inf)) if tag == "loss" else (val > self._best.get(tag, -np.inf))
+            if better:
+                self._best[tag] = val
+                self._write(f"best_{tag}", pytree, meta)
+                improved[tag] = True
+        self._save_best_records()
+        return improved
+
+    # --- restore ----------------------------------------------------------
+    def restore(self, name_or_path: str, template) -> Tuple[Any, Dict]:
+        path = Path(name_or_path)
+        if not path.exists():
+            path = self.save_dir / name_or_path
+        restored = self._ckptr.restore(path.absolute(), template)
+        meta = {}
+        mf = path / "meta.json"
+        if mf.exists():
+            meta = json.loads(mf.read_text())
+        return restored, meta
+
+    def restore_latest(self, template) -> Optional[Tuple[Any, Dict]]:
+        if not (self.save_dir / "latest").exists():
+            return None
+        return self.restore("latest", template)
+
+
+def filtered_restore(params: Dict, loaded: Dict, include_prefixes: Sequence[str]) -> Dict:
+    """Overwrite only subtrees whose top-level key starts with a prefix —
+    the reference's key-prefix filtered load
+    (train_progressive_1gpu.py:211-225, train_stage2_extended.py:190-198)."""
+    out = dict(params)
+    for key in params:
+        if any(key.startswith(p) for p in include_prefixes) and key in loaded:
+            out[key] = loaded[key]
+    return out
+
+
+def shape_matched_transfer(params, loaded) -> Tuple[Any, int, int]:
+    """Copy every leaf whose path exists in both trees with identical shape
+    (Direct256Model_B200.load_pretrained_128, model_direct256_b200.py:262-298).
+    Returns (new_params, transferred, skipped)."""
+    loaded_leaves = {path: leaf for path, leaf in _flatten(loaded)}
+    transferred = 0
+    skipped = 0
+
+    def visit(path, leaf):
+        nonlocal transferred, skipped
+        cand = loaded_leaves.get(path)
+        if cand is not None and np.shape(cand) == np.shape(leaf):
+            transferred += 1
+            return jax.numpy.asarray(cand, leaf.dtype) if hasattr(leaf, "dtype") else cand
+        skipped += 1
+        return leaf
+
+    def walk(tree, prefix=()):
+        if isinstance(tree, dict):
+            return {k: walk(v, prefix + (k,)) for k, v in tree.items()}
+        return visit(prefix, tree)
+
+    return walk(params), transferred, skipped

@@ -1,0 +1,455 @@
+"""Trainer: jit-compiled data-parallel steps + the reference's training
+surface (stagewise cascade training with freezing, periodic/best
+checkpoints, resume with LR override, CSV/JSONL logs).
+
+Replaces all eleven reference training scripts (SURVEY.md §2.5) with one
+engine parameterized by Config. Parallelism: parameters are replicated and
+batches sharded over the mesh's 'data' axis; XLA inserts the gradient
+all-reduce (the reference's DDP/NCCL ring) over ICI automatically.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..config import Config, validate_config
+from ..data import DataLoader, PatientDRRDataset, SyntheticCTDataset, create_train_val_datasets, shard_batch
+from ..losses import Direct256Loss, MultiScaleLoss, psnr, ssim_metric
+from ..losses.multiscale import l1_loss
+from ..models import (
+    Direct128ModelH200,
+    Direct256ModelB200,
+    Direct256ModelH200,
+    DirectCTRegression,
+    ProgressiveCascadeModel,
+)
+from ..ops.resize import resize_trilinear
+from ..parallel import data_sharding, make_mesh, replicated_sharding
+from ..utils import CSVLogger, JSONLLogger
+from .checkpoint import CheckpointManager
+from .schedules import make_optimizer
+
+
+def _arrays_only(batch: Dict) -> Dict:
+    """Drop non-array entries (patient ids, flags) before entering jit."""
+    return {k: v for k, v in batch.items() if isinstance(v, (jax.Array, np.ndarray))}
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            opt_state=new_opt_state,
+        )
+
+
+def build_model(cfg: Config):
+    m = cfg.model
+    dtype = jnp.bfloat16 if m.dtype == "bfloat16" else jnp.float32
+    if m.family == "direct_vit":
+        return DirectCTRegression(
+            volume_size=tuple(m.volume_size), voxel_dim=m.voxel_dim, vit_depth=m.vit_depth,
+            num_heads=m.num_heads, xray_feature_dim=m.xray_feature_dim, dtype=dtype, attn_impl=m.attn_impl,
+        )
+    if m.family == "cascade":
+        return ProgressiveCascadeModel(
+            xray_feature_dim=m.xray_feature_dim, voxel_dim=m.voxel_dim, dtype=dtype, attn_impl=m.attn_impl,
+            stage_depths=tuple(m.stage_depths), stage_heads=tuple(m.stage_heads),
+            use_gradient_checkpointing=m.use_gradient_checkpointing,
+        )
+    if m.family == "direct128_h200":
+        return Direct128ModelH200(xray_feature_dim=m.xray_feature_dim, dtype=dtype,
+                                  remat=m.use_gradient_checkpointing)
+    if m.family == "direct256_h200":
+        return Direct256ModelH200(xray_feature_dim=m.xray_feature_dim, dtype=dtype,
+                                  remat=m.use_gradient_checkpointing)
+    if m.family == "direct256_b200":
+        return Direct256ModelB200(dtype=dtype, remat=m.use_gradient_checkpointing)
+    if m.family == "diffusion":
+        from ..models import UnifiedHybridViTCascade
+
+        return UnifiedHybridViTCascade(
+            stage_configs=diffusion_stage_configs(m), xray_embed_dim=m.xray_feature_dim, dtype=dtype,
+            attn_impl=m.attn_impl,
+        )
+    raise ValueError(f"unsupported family for Trainer: {m.family}")
+
+
+def diffusion_stage_configs(m) -> tuple:
+    """Default diffusion stage ladder (unified_model.py __main__:471-490),
+    truncated to the configured volume size."""
+    ladder = [
+        dict(name="stage1_low", volume_size=(64, 64, 64), voxel_dim=m.voxel_dim,
+             vit_depth=4, num_heads=4, use_depth_lifting=True, use_physics_loss=True),
+        dict(name="stage2_mid", volume_size=(128, 128, 128), voxel_dim=m.voxel_dim,
+             vit_depth=6, num_heads=8, use_depth_lifting=True, use_physics_loss=True),
+        dict(name="stage3_high", volume_size=(256, 256, 256), voxel_dim=m.voxel_dim,
+             vit_depth=8, num_heads=8, use_depth_lifting=True, use_physics_loss=True),
+    ]
+    top = max(m.volume_size)
+    if top < 64:  # scaled-down configs (tests): single stage at the given size
+        return (
+            dict(name="stage1_low", volume_size=tuple(m.volume_size), voxel_dim=m.voxel_dim,
+                 vit_depth=m.vit_depth, num_heads=m.num_heads, use_depth_lifting=True,
+                 use_physics_loss=True),
+        )
+    return tuple(c for c in ladder if max(c["volume_size"]) <= top)
+
+
+def make_train_step(model, loss_fn: Callable, model_kwargs: Optional[Dict] = None):
+    """loss_fn(pred, batch) -> dict with 'total_loss'. Returns a jitted
+    (state, batch, rng) -> (state, metrics) step."""
+    mkw = dict(model_kwargs or {})
+
+    def apply_loss(params, batch_stats, batch, rng):
+        variables = {"params": params}
+        mutable = []
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+            mutable = ["batch_stats"]
+        out = model.apply(
+            variables, batch["drr_stacked"], train=True,
+            mutable=mutable, rngs={"dropout": rng}, **mkw,
+        )
+        pred, updates = out if mutable else (out, {})
+        ld = loss_fn(pred, batch)
+        return ld["total_loss"].astype(jnp.float32), (ld, updates.get("batch_stats", batch_stats))
+
+    @jax.jit
+    def step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        (_, (metrics, new_bs)), grads = jax.value_and_grad(apply_loss, has_aux=True)(
+            state.params, state.batch_stats, batch, rng
+        )
+        state = state.apply_gradients(grads)
+        if new_bs is not None:
+            state = state.replace(batch_stats=new_bs)
+        return state, metrics
+
+    return step
+
+
+def make_eval_step(model, target_fn: Callable, model_kwargs: Optional[Dict] = None):
+    mkw = dict(model_kwargs or {})
+
+    @jax.jit
+    def step(params, batch_stats, batch):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        pred = model.apply(variables, batch["drr_stacked"], train=False, **mkw)
+        target = target_fn(batch)
+        return {
+            "loss": l1_loss(pred, target),
+            "psnr": psnr(pred, target),
+            "ssim": ssim_metric(pred, target),
+        }
+
+    return step
+
+
+def resize_target(batch_volume: jnp.ndarray, resolution: Tuple[int, int, int]) -> jnp.ndarray:
+    """Resize the full-res CT target to a stage resolution
+    (align_corners=False, matching the reference trainers)."""
+    if tuple(batch_volume.shape[-3:]) == tuple(resolution):
+        return batch_volume
+    return resize_trilinear(batch_volume, resolution, align_corners=False)
+
+
+@dataclass
+class EpochResult:
+    train_loss: float
+    val: Dict[str, float]
+    seconds: float
+    samples_per_sec: float
+
+
+class Trainer:
+    """End-to-end training engine. `Trainer(cfg).fit()`"""
+
+    def __init__(self, cfg: Config, mesh=None):
+        validate_config(cfg)
+        self.cfg = cfg
+        if cfg.training.debug_nans:
+            jax.config.update("jax_debug_nans", True)
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.model = build_model(cfg)
+        self.ckpt = CheckpointManager(cfg.checkpoints.save_dir, cfg.checkpoints.save_every,
+                                      cfg.checkpoints.keep_best)
+        self.csv = CSVLogger(f"{cfg.checkpoints.save_dir}/training_log.csv")
+        self.jsonl = JSONLLogger(f"{cfg.checkpoints.save_dir}/training_log.jsonl")
+        self._build_data()
+
+    # --- data -------------------------------------------------------------
+    def _build_data(self):
+        d = self.cfg.data
+        target_size = tuple(self.cfg.model.volume_size)
+        if self.cfg.model.family == "cascade":
+            target_size = (256, 256, 256)
+        elif self.cfg.model.family.startswith("direct128"):
+            target_size = (128, 128, 128)
+        elif self.cfg.model.family.startswith("direct256"):
+            target_size = (256, 256, 256)
+        if d.synthetic:
+            ds = SyntheticCTDataset(
+                num_patients=d.synthetic_patients, volume_size=target_size, xray_size=d.xray_size,
+            )
+        else:
+            ds = PatientDRRDataset(
+                d.dataset_path, target_xray_size=d.xray_size, target_volume_size=target_size,
+                normalization=d.normalization, augmentation=d.augmentation,
+                cache_in_memory=d.cache_in_memory, max_patients=d.max_patients,
+            )
+        self.train_ds, self.val_ds, self.test_ds = create_train_val_datasets(
+            ds, d.train_split, d.val_split, seed=42
+        )
+        if len(self.val_ds) == 0:  # tiny datasets: validate on train
+            self.val_ds = self.train_ds
+
+    def _mesh_for_batch(self, batch_size: int):
+        """Largest data-axis size that divides the batch. DP requires the
+        global batch to split evenly; replicating the batch instead triggers
+        pathological GSPMD compiles, so surplus devices sit idle (exactly the
+        reference's behavior when batch < world_size)."""
+        import math
+
+        n = self.mesh.shape["data"]
+        k = math.gcd(batch_size, n)
+        if k == n:
+            return self.mesh
+        return make_mesh(data=k, model=1, devices=jax.devices()[:k])
+
+    # --- init -------------------------------------------------------------
+    def init_variables(self, rng=None, **model_kwargs):
+        rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.training.seed)
+        item = self.train_ds[0]
+        xr = jnp.zeros((1, *item["drr_stacked"].shape), jnp.float32)
+        # init under jit: eager per-op dispatch is pathologically slow on
+        # multi-(virtual-)device backends
+        init_fn = jax.jit(lambda r, x: self.model.init(r, x, **model_kwargs))
+        return init_fn(rng, xr)
+
+    def _make_state(self, variables, tx, mesh=None) -> TrainState:
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        repl = replicated_sharding(mesh if mesh is not None else self.mesh)
+        params = jax.device_put(params, repl)
+        batch_stats = jax.device_put(batch_stats, repl)
+        return TrainState(
+            step=jnp.zeros((), jnp.int32), params=params, batch_stats=batch_stats,
+            opt_state=jax.device_put(tx.init(params), repl), tx=tx,
+        )
+
+    # --- single-model families -------------------------------------------
+    def fit(self, epochs: Optional[int] = None, lr_override: Optional[float] = None,
+            resume: bool = True, progress: bool = True) -> Dict[str, float]:
+        fam = self.cfg.model.family
+        if fam == "cascade":
+            return self.fit_cascade(resume=resume)
+        if fam == "diffusion":
+            return self.fit_diffusion(epochs=epochs, progress=progress)
+        t = self.cfg.training
+        epochs = epochs if epochs is not None else t.num_epochs
+        lr = lr_override if lr_override is not None else t.learning_rate
+        steps_per_epoch = max(1, len(self.train_ds) // t.batch_size)
+        tx = make_optimizer(lr, steps_per_epoch * epochs, t.weight_decay, t.gradient_clip, t.warmup_steps)
+
+        variables = self.init_variables()
+        mesh = self._mesh_for_batch(t.batch_size)
+        state = self._make_state(variables, tx, mesh)
+        start_epoch = 0
+        if resume:
+            restored = self.ckpt.restore_latest({"params": state.params, "batch_stats": state.batch_stats})
+            if restored is not None:
+                tree, meta = restored
+                state = state.replace(params=tree["params"], batch_stats=tree["batch_stats"])
+                start_epoch = int(meta.get("epoch", -1)) + 1
+
+        if fam == "direct_vit":
+            loss_obj = MultiScaleLoss({"stage1": self.cfg.loss.stage1})
+            loss_fn = lambda pred, batch: loss_obj(pred, batch["ct_volume"], stage=1)
+        else:
+            d256 = Direct256Loss()
+            loss_fn = lambda pred, batch: d256(pred, batch["ct_volume"])
+
+        train_step = make_train_step(self.model, loss_fn)
+        eval_step = make_eval_step(self.model, lambda b: b["ct_volume"])
+        return self._run_epochs(state, train_step, eval_step, t.batch_size, start_epoch, epochs, lr,
+                                progress, mesh=mesh)
+
+    # --- diffusion family -------------------------------------------------
+    def fit_diffusion(self, stage_name: Optional[str] = None, epochs: Optional[int] = None,
+                      progress: bool = True) -> Dict[str, float]:
+        """Train one diffusion stage (the reference's legacy family is only
+        ever driven one stage at a time, unified_model.py:261-392)."""
+        t = self.cfg.training
+        epochs = epochs if epochs is not None else t.num_epochs
+        stages = diffusion_stage_configs(self.cfg.model)
+        cfg_stage = stages[-1] if stage_name is None else next(s for s in stages if s["name"] == stage_name)
+        stage = cfg_stage["name"]
+        resolution = tuple(cfg_stage["volume_size"])
+
+        item = self.train_ds[0]
+        x0 = jnp.zeros((1, 1, *resolution), jnp.float32)
+        xr = jnp.zeros((1, *item["drr_stacked"].shape), jnp.float32)
+        rng = jax.random.PRNGKey(t.seed)
+        variables = jax.jit(lambda r, a, b: self.model.init(r, a, b, stage, r))(rng, x0, xr)
+
+        steps_per_epoch = max(1, len(self.train_ds) // t.batch_size)
+        tx = make_optimizer(t.learning_rate, steps_per_epoch * epochs, t.weight_decay, t.gradient_clip)
+        mesh = self._mesh_for_batch(t.batch_size)
+        state = self._make_state(variables, tx, mesh)
+        model = self.model
+
+        @jax.jit
+        def train_step(state: TrainState, batch, rng):
+            rng = jax.random.fold_in(rng, state.step)
+            d_rng, t_rng = jax.random.split(rng)
+
+            def apply_loss(params, batch_stats):
+                x_start = resize_target(batch["ct_volume"], resolution)
+                vs = {"params": params}
+                mutable = []
+                if batch_stats:
+                    vs["batch_stats"] = batch_stats
+                    mutable = ["batch_stats"]
+                out = model.apply(vs, x_start, batch["drr_stacked"], stage, t_rng,
+                                  train=True, mutable=mutable, rngs={"dropout": d_rng})
+                ld, updates = out if mutable else (out, {})
+                return ld["loss"], (ld, updates.get("batch_stats", batch_stats))
+
+            (_, (ld, new_bs)), grads = jax.value_and_grad(apply_loss, has_aux=True)(
+                state.params, state.batch_stats
+            )
+            state = state.apply_gradients(grads)
+            if new_bs is not None:
+                state = state.replace(batch_stats=new_bs)
+            return state, ld
+
+        @jax.jit
+        def eval_step(params, batch_stats, batch):
+            vs = {"params": params}
+            if batch_stats:
+                vs["batch_stats"] = batch_stats
+            ld = model.apply(vs, resize_target(batch["ct_volume"], resolution),
+                             batch["drr_stacked"], stage, jax.random.PRNGKey(0), train=False)
+            return {"loss": ld["loss"], "psnr": jnp.zeros(()), "ssim": jnp.zeros(())}
+
+        def renamed_step(state, batch, rng):
+            state, ld = train_step(state, batch, rng)
+            return state, {"total_loss": ld["loss"], **ld}
+
+        return self._run_epochs(state, renamed_step, eval_step, t.batch_size, 0, epochs,
+                                t.learning_rate, progress, phase=f"diffusion_{stage}", mesh=mesh)
+
+    # --- cascade stagewise -----------------------------------------------
+    def fit_cascade(self, stages=("stage1", "stage2", "stage3"), resume: bool = True,
+                    progress: bool = True) -> Dict[str, float]:
+        t = self.cfg.training
+        variables = self.init_variables(max_stage=3)
+        loss_obj = MultiScaleLoss({
+            "stage1": self.cfg.loss.stage1, "stage2": self.cfg.loss.stage2, "stage3": self.cfg.loss.stage3,
+        })
+        last: Dict[str, float] = {}
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        for stage_name in stages:
+            n = int(stage_name[-1])
+            sc = t.stages[stage_name]
+            steps_per_epoch = max(1, len(self.train_ds) // sc.batch_size)
+            frozen = [f"stage{i}" for i in range(1, n)]
+            trainable = [k for k in params.keys() if k not in frozen]
+            tx = make_optimizer(sc.learning_rate, steps_per_epoch * sc.num_epochs, t.weight_decay,
+                                t.gradient_clip, trainable_prefixes=trainable, params=params)
+            stage_mesh = self._mesh_for_batch(sc.batch_size)
+            state = self._make_state({"params": params, "batch_stats": batch_stats}, tx, stage_mesh)
+
+            resolution = tuple(sc.target_resolution)
+
+            def loss_fn(pred, batch, _n=n, _res=resolution):
+                target = resize_target(batch["ct_volume"], _res)
+                xr = batch["drr_stacked"] if _n == 3 else None
+                return loss_obj(pred, target, stage=_n, input_xrays=xr)
+
+            mkw = {"max_stage": n}
+            train_step = make_train_step(self.model, loss_fn, mkw)
+            eval_step = make_eval_step(self.model, lambda b, _res=resolution: resize_target(b["ct_volume"], _res), mkw)
+            self.ckpt_stage = CheckpointManager(
+                f"{self.cfg.checkpoints.save_dir}/{stage_name}", self.cfg.checkpoints.save_every
+            )
+            last = self._run_epochs(
+                state, train_step, eval_step, sc.batch_size, 0, sc.num_epochs, sc.learning_rate,
+                progress, phase=stage_name, ckpt=self.ckpt_stage, mesh=stage_mesh,
+            )
+            # carry learned params to the next stage (ref: filtered prev-stage load)
+            params = self._last_state.params
+            batch_stats = self._last_state.batch_stats
+        return last
+
+    # --- epoch loop -------------------------------------------------------
+    def _run_epochs(self, state, train_step, eval_step, batch_size, start_epoch, epochs, lr,
+                    progress, phase="train", ckpt=None, mesh=None) -> Dict[str, float]:
+        mesh = mesh if mesh is not None else self._mesh_for_batch(batch_size)
+        ckpt = ckpt or self.ckpt
+        d = self.cfg.data
+        assert batch_size % mesh.shape["data"] == 0, (batch_size, mesh.shape)
+        dsh = data_sharding(mesh)
+        esh = replicated_sharding(mesh)
+        train_loader = DataLoader(self.train_ds, batch_size, shuffle=True, seed=self.cfg.training.seed,
+                                  num_prefetch=d.num_prefetch)
+        val_loader = DataLoader(self.val_ds, batch_size=min(batch_size, max(1, len(self.val_ds))),
+                                shuffle=False, drop_last=False, num_prefetch=0)
+        rng = jax.random.PRNGKey(self.cfg.training.seed + 1)
+        metrics: Dict[str, float] = {}
+        profile_dir = self.cfg.training.profile_dir
+        for epoch in range(start_epoch, epochs):
+            if profile_dir and epoch == start_epoch:
+                jax.profiler.start_trace(profile_dir)
+            train_loader.set_epoch(epoch)
+            t0 = time.time()
+            losses = []
+            n_samples = 0
+            for batch in train_loader:
+                batch = _arrays_only(shard_batch(batch, dsh))
+                state, m = train_step(state, batch, rng)
+                losses.append(m["total_loss"])
+                n_samples += batch["drr_stacked"].shape[0]
+            if profile_dir and epoch == start_epoch:
+                jax.profiler.stop_trace()
+            train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+            vals = []
+            for batch in val_loader:
+                batch = _arrays_only(shard_batch(batch, esh))
+                vals.append(eval_step(state.params, state.batch_stats, batch))
+            val = {k: float(jnp.mean(jnp.stack([v[k] for v in vals]))) for k in vals[0]} if vals else {}
+            dt = time.time() - t0
+            metrics = {"loss": val.get("loss", train_loss), "psnr": val.get("psnr", 0.0),
+                       "ssim": val.get("ssim", 0.0)}
+            ckpt.save({"params": state.params, "batch_stats": state.batch_stats}, epoch, metrics,
+                      config=self.cfg.to_dict())
+            self.csv.log(epoch=epoch, phase=phase, loss=f"{train_loss:.6f}",
+                         psnr=f"{metrics['psnr']:.3f}", ssim=f"{metrics['ssim']:.4f}",
+                         lr=lr, time=f"{dt:.1f}")
+            self.jsonl.log({"epoch": epoch, "phase": phase, "train_loss": train_loss, **val,
+                            "seconds": dt, "samples_per_sec": n_samples / max(dt, 1e-9)})
+            if progress:
+                print(f"[{phase}] epoch {epoch}: loss={train_loss:.4f} "
+                      f"val_psnr={metrics['psnr']:.2f} dB val_ssim={metrics['ssim']:.4f} ({dt:.1f}s)")
+        self._last_state = state
+        return metrics

@@ -1,0 +1,90 @@
+"""Data pipeline tests: synthetic phantoms, folder discovery, normalization
+presets, splits, loader sharding."""
+
+import numpy as np
+import pytest
+
+from hybrid_vit_cascade_tpu import data
+
+
+class TestSynthetic:
+    def test_phantom_deterministic(self):
+        a = data.make_phantom_volume(32, seed=3)
+        b = data.make_phantom_volume(32, seed=3)
+        np.testing.assert_array_equal(a, b)
+        assert a.min() < -500 and a.max() > 300  # air + bone present
+
+    def test_dataset_item_schema(self):
+        ds = data.SyntheticCTDataset(num_patients=2, volume_size=(16, 16, 16), xray_size=64)
+        item = ds[0]
+        assert item["ct_volume"].shape == (1, 16, 16, 16)
+        assert item["drr_stacked"].shape == (2, 1, 64, 64)
+        assert item["ct_volume"].min() >= -1.0 and item["ct_volume"].max() <= 1.0
+
+
+class TestPatientDataset:
+    @pytest.fixture
+    def patient_dir(self, tmp_path):
+        for pid in ["pat_a", "pat_b"]:
+            d = tmp_path / pid
+            d.mkdir()
+            np.save(d / f"{pid}_pa_drr.npy", np.random.rand(40, 40).astype(np.float32))
+            np.save(d / f"{pid}_lat_drr.npy", np.random.rand(40, 40).astype(np.float32))
+            np.save(d / f"{pid}.npy", (np.random.rand(24, 24, 24) * 1000 - 500).astype(np.float32))
+        # incomplete folder must be skipped
+        (tmp_path / "broken").mkdir()
+        np.save(tmp_path / "broken" / "broken_pa_drr.npy", np.zeros((4, 4), np.float32))
+        return tmp_path
+
+    def test_discovery_and_item(self, patient_dir):
+        ds = data.PatientDRRDataset(
+            str(patient_dir), target_xray_size=32, target_volume_size=(16, 16, 16)
+        )
+        assert len(ds) == 2
+        item = ds[0]
+        assert item["ct_volume"].shape == (1, 16, 16, 16)
+        assert item["drr_stacked"].shape == (2, 1, 32, 32)
+        assert -1.0 <= item["ct_volume"].min() and item["ct_volume"].max() <= 1.0
+
+    def test_normalization_presets(self, patient_dir):
+        soft = data.PatientDRRDataset(str(patient_dir), target_xray_size=32,
+                                      target_volume_size=(16, 16, 16), normalization="soft_tissue")
+        full = data.PatientDRRDataset(str(patient_dir), target_xray_size=32,
+                                      target_volume_size=(16, 16, 16), normalization="full")
+        v_soft = soft[0]["ct_volume"]
+        v_full = full[0]["ct_volume"]
+        assert v_soft.min() >= -1.0 and v_soft.max() <= 1.0
+        assert v_full.min() >= 0.0 and v_full.max() <= 1.0
+
+    def test_empty_raises(self, tmp_path):
+        with pytest.raises(ValueError):
+            data.PatientDRRDataset(str(tmp_path / "nope"))
+
+    def test_splits_are_seeded(self, patient_dir):
+        ds = data.PatientDRRDataset(str(patient_dir), target_xray_size=32, target_volume_size=(16, 16, 16))
+        tr1, va1, te1 = data.create_train_val_datasets(ds, train_split=0.5, val_split=0.5, seed=7)
+        tr2, va2, te2 = data.create_train_val_datasets(ds, train_split=0.5, val_split=0.5, seed=7)
+        assert tr1.indices == tr2.indices and va1.indices == va2.indices
+
+
+class TestLoader:
+    def test_batching_and_epoch_shuffle(self):
+        ds = data.SyntheticCTDataset(num_patients=8, volume_size=(8, 8, 8), xray_size=16)
+        dl = data.DataLoader(ds, batch_size=4, seed=1, process_count=1, process_index=0)
+        batches = list(dl)
+        assert len(batches) == 2
+        assert batches[0]["ct_volume"].shape == (4, 1, 8, 8, 8)
+        ids_e0 = [i for b in batches for i in b["patient_id"]]
+        dl.set_epoch(1)
+        ids_e1 = [i for b in dl for i in b["patient_id"]]
+        assert set(ids_e0) == set(ids_e1)
+        assert ids_e0 != ids_e1  # epoch reshuffle
+
+    def test_process_sharding_partitions(self):
+        ds = data.SyntheticCTDataset(num_patients=8, volume_size=(8, 8, 8), xray_size=16)
+        seen = []
+        for rank in range(2):
+            dl = data.DataLoader(ds, batch_size=2, shuffle=False, process_count=2, process_index=rank,
+                                 num_prefetch=0)
+            seen += [i for b in dl for i in b["patient_id"]]
+        assert sorted(seen) == sorted(x["patient_id"] for x in (ds[i] for i in range(8)))
