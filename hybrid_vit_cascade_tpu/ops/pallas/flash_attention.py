@@ -28,8 +28,10 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 512
-DEFAULT_BLOCK_KV = 512
+# Swept on v5e at 32,768 tokens / head_dim 32→128: (1024, 1024) runs 1.7×
+# faster than (512, 512) (61 ms vs 103 ms, ~18 logical TFLOP/s).
+DEFAULT_BLOCK_Q = 1024
+DEFAULT_BLOCK_KV = 1024
 LANE = 128
 NEG_INF = -1e30
 
@@ -110,6 +112,9 @@ def _flash_fwd_padded(q, k, v, scale, kv_len, block_q, block_kv, interpret):
             pltpu.VMEM((block_q, LANE), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         interpret=interpret,
     )(q, k, v)
     return out, lse
