@@ -94,6 +94,36 @@ def cmd_eval(args):
     print(json.dumps(summary, indent=2))
 
 
+def cmd_transfer(args):
+    """Two-phase 128³→256³ transfer (ref: transfer_128_to_256_b200.py):
+    shape-matched weight transfer from a 128³ checkpoint into the 256³ model,
+    then training (optionally with the transferred subtrees frozen)."""
+    import jax
+
+    from .training import Trainer, shape_matched_transfer
+    from .training.checkpoint import CheckpointManager
+
+    cfg = _load_cfg(args)
+    trainer = Trainer(cfg)
+    variables = trainer.init_variables()
+
+    mgr = CheckpointManager(str(__import__("pathlib").Path(args.from_checkpoint).parent))
+    loaded, meta = mgr.restore(args.from_checkpoint, None)
+    loaded_params = loaded.get("params", loaded) if isinstance(loaded, dict) else loaded
+    new_params, transferred, skipped = shape_matched_transfer(variables["params"], loaded_params)
+    print(f"transfer: {transferred} leaves transferred, {skipped} skipped "
+          f"({transferred / max(transferred + skipped, 1) * 100:.1f}%)")
+    variables = dict(variables)
+    variables["params"] = new_params
+
+    # persist the transferred init so training resumes from it
+    trainer.ckpt.save({"params": new_params, "batch_stats": variables.get("batch_stats", {})},
+                      epoch=-1, metrics={}, config=cfg.to_dict())
+    if not args.init_only:
+        metrics = trainer.fit(lr_override=args.lr, resume=True)
+        print(json.dumps({"final": metrics}))
+
+
 def cmd_inspect(args):
     from .inference import inspect_checkpoint
 
@@ -139,6 +169,18 @@ def main(argv=None):
     e.add_argument("--data-path", default=None)
     e.add_argument("--synthetic", action="store_true")
     e.set_defaults(fn=cmd_eval)
+
+    x = sub.add_parser("transfer", help="shape-matched weight transfer (e.g. 128³→256³) then train")
+    x.add_argument("--from-checkpoint", required=True, help="source checkpoint dir")
+    x.add_argument("--config", default=None)
+    x.add_argument("--family", default=None)
+    x.add_argument("--synthetic", action="store_true")
+    x.add_argument("--epochs", type=int, default=None)
+    x.add_argument("--lr", type=float, default=None)
+    x.add_argument("--save-dir", default=None)
+    x.add_argument("--data-path", default=None)
+    x.add_argument("--init-only", action="store_true", help="only write the transferred init")
+    x.set_defaults(fn=cmd_transfer)
 
     n = sub.add_parser("inspect", help="dump checkpoint keys/shapes")
     n.add_argument("--checkpoint", required=True)

@@ -62,6 +62,7 @@ class TrainingConfig:
     # the TPU analog of the reference's NaN guards
     profile_dir: str = ""          # non-empty: write a TensorBoard trace of epoch 0
     debug_nans: bool = False       # jax_debug_nans (reference: NaN-batch skipping)
+    use_wandb: bool = False        # optional wandb metric logging (no-op if absent)
     stages: Dict[str, StageConfig] = field(
         default_factory=lambda: {
             "stage1": StageConfig(50, 8, 1e-4, (64, 64, 64)),

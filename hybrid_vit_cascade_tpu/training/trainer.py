@@ -188,6 +188,10 @@ class Trainer:
         self.cfg = cfg
         if cfg.training.debug_nans:
             jax.config.update("jax_debug_nans", True)
+        if cfg.training.use_wandb:
+            from ..utils import wandb_compat
+
+            wandb_compat.init(config=cfg.to_dict())
         self.mesh = mesh if mesh is not None else make_mesh()
         self.model = build_model(cfg)
         self.ckpt = CheckpointManager(cfg.checkpoints.save_dir, cfg.checkpoints.save_every,
@@ -448,6 +452,10 @@ class Trainer:
                          lr=lr, time=f"{dt:.1f}")
             self.jsonl.log({"epoch": epoch, "phase": phase, "train_loss": train_loss, **val,
                             "seconds": dt, "samples_per_sec": n_samples / max(dt, 1e-9)})
+            if self.cfg.training.use_wandb:
+                from ..utils import wandb_compat
+
+                wandb_compat.log({"phase": phase, "train_loss": train_loss, **val}, step=epoch)
             if progress:
                 print(f"[{phase}] epoch {epoch}: loss={train_loss:.4f} "
                       f"val_psnr={metrics['psnr']:.2f} dB val_ssim={metrics['ssim']:.4f} ({dt:.1f}s)")
