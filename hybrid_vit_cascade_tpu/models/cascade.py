@@ -131,10 +131,44 @@ class Stage2Refiner128(nn.Module):
         return base + residual_weight.astype(base.dtype) * refinement
 
 
+class _ConvGNGelu(nn.Module):
+    """One conv→GN→GELU unit, separable so each can be rematerialized on its
+    own: at 256³ a 64-ch activation is ~2 GB bf16 (4 GB after the 128-lane
+    channel padding), so per-layer remat bounds how many are live at once."""
+
+    features: int
+    groups: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Conv(self.features, (3, 3, 3), padding=1, kernel_init=torch_default_init, dtype=self.dtype)(x)
+        x = group_norm(self.groups, dtype=self.dtype)(x)
+        return gelu_exact(x)
+
+
+class DetailEnhancer(nn.Module):
+    """High-frequency CNN branch on the upsampled base volume
+    (model_progressive.py:259-267). Per-layer remat (see _ConvGNGelu)."""
+
+    dtype: Dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, base: jnp.ndarray) -> jnp.ndarray:
+        layer_cls = nn.remat(_ConvGNGelu) if self.remat else _ConvGNGelu
+        d = base.astype(self.dtype)
+        for ch, g in [(64, 16), (32, 8)]:
+            d = layer_cls(ch, g, dtype=self.dtype)(d)
+        return nn.Conv(1, (1, 1, 1), kernel_init=torch_default_init, dtype=self.dtype)(d)
+
+
 class Stage3Refiner256(nn.Module):
     """128³ → 256³ refiner with CNN high-frequency branch
-    (model_progressive.py:219-316). The ViT runs under remat in training
-    (ref: torch.utils.checkpoint at :285-292)."""
+    (model_progressive.py:219-316). In training, the ViT, the upsample-conv
+    stem AND the detail CNN all run under remat (the reference checkpoints
+    only the ViT, :285-292, but at 256³ on a 16 GB chip the conv activations
+    alone exceed HBM without it)."""
 
     volume_size: Tuple[int, int, int] = (256, 256, 256)
     voxel_dim: int = 256
@@ -150,7 +184,8 @@ class Stage3Refiner256(nn.Module):
         self, volume_128: jnp.ndarray, xray_feats: jnp.ndarray, cond: jnp.ndarray, train: bool = False
     ) -> jnp.ndarray:
         B = volume_128.shape[0]
-        x = UpsampleConvBlock(32, 8, dtype=self.dtype, name="upsample_from_128")(volume_128)
+        up_cls = nn.remat(UpsampleConvBlock) if self.remat else UpsampleConvBlock
+        x = up_cls(32, 8, dtype=self.dtype, name="upsample_from_128")(volume_128)
         context = xray_feats.reshape(B, -1, self.xray_feature_dim)
         refinement = HybridViT3D(
             volume_size=self.volume_size,
@@ -168,13 +203,7 @@ class Stage3Refiner256(nn.Module):
 
         base = _ndhwc(resize_trilinear(_nchw3d(volume_128), self.volume_size, align_corners=False))
 
-        # High-frequency detail enhancer CNN on the upsampled base (:259-267)
-        d = base.astype(self.dtype)
-        for ch, g, k in [(64, 16, 3), (32, 8, 3)]:
-            d = nn.Conv(ch, (k, k, k), padding=1, kernel_init=torch_default_init, dtype=self.dtype)(d)
-            d = group_norm(g, dtype=self.dtype)(d)
-            d = gelu_exact(d)
-        details = nn.Conv(1, (1, 1, 1), kernel_init=torch_default_init, dtype=self.dtype)(d)
+        details = DetailEnhancer(dtype=self.dtype, remat=self.remat, name="detail_enhancer")(base)
 
         residual_weight = self.param("residual_weight", nn.initializers.constant(0.5), (1,), jnp.float32)
         detail_weight = self.param("detail_weight", nn.initializers.constant(0.3), (1,), jnp.float32)

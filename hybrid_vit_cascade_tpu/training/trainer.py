@@ -10,6 +10,7 @@ all-reduce (the reference's DDP/NCCL ring) over ICI automatically.
 
 from __future__ import annotations
 
+import functools
 import time
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, Optional, Tuple
@@ -131,7 +132,9 @@ def make_train_step(model, loss_fn: Callable, model_kwargs: Optional[Dict] = Non
         ld = loss_fn(pred, batch)
         return ld["total_loss"].astype(jnp.float32), (ld, updates.get("batch_stats", batch_stats))
 
-    @jax.jit
+    # donate the state: without it the old and updated params/opt-state
+    # coexist (~2x params+adam HBM), which matters at the 256³ stages
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
         (_, (metrics, new_bs)), grads = jax.value_and_grad(apply_loss, has_aux=True)(
