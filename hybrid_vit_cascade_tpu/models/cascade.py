@@ -35,20 +35,22 @@ def _ndhwc(x: jnp.ndarray) -> jnp.ndarray:
 
 class UpsampleConvBlock(nn.Module):
     """Upsample(×2, trilinear, align_corners=False) → Conv3d → GN → GELU
-    (model_progressive.py:169-174, 238-243)."""
+    (model_progressive.py:169-174, 238-243). Operates feature-first (NCDHW):
+    at 128³/256³ with ≤32 channels, channels-last would pad the 128-lane tile
+    4× (ops/conv3d.py)."""
 
     features: int
     groups: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, D, H, W, C)
-        d, h, w = x.shape[1:4]
-        x = _nchw3d(x)
-        x = resize_trilinear(x, (2 * d, 2 * h, 2 * w), align_corners=False)
-        x = _ndhwc(x).astype(self.dtype)
-        x = nn.Conv(self.features, (3, 3, 3), padding=1, kernel_init=torch_default_init, dtype=self.dtype)(x)
-        x = group_norm(self.groups, dtype=self.dtype)(x)
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, C, D, H, W)
+        from ..ops.conv3d import ConvNCDHW, GroupNormNCDHW
+
+        d, h, w = x.shape[2:5]
+        x = resize_trilinear(x, (2 * d, 2 * h, 2 * w), align_corners=False).astype(self.dtype)
+        x = ConvNCDHW(self.features, 3, padding=1, dtype=self.dtype)(x)
+        x = GroupNormNCDHW(self.groups, dtype=self.dtype)(x)
         return gelu_exact(x)
 
 
@@ -110,7 +112,8 @@ class Stage2Refiner128(nn.Module):
         self, volume_64: jnp.ndarray, xray_feats: jnp.ndarray, cond: jnp.ndarray, train: bool = False
     ) -> jnp.ndarray:
         B = volume_64.shape[0]
-        x = UpsampleConvBlock(32, 8, dtype=self.dtype, name="upsample_from_64")(volume_64)
+        vol_nc = _nchw3d(volume_64)  # (B, 1, 64³)
+        x = UpsampleConvBlock(32, 8, dtype=self.dtype, name="upsample_from_64")(vol_nc)  # (B, 32, 128³)
         context = xray_feats.reshape(B, -1, self.xray_feature_dim)
         refinement = HybridViT3D(
             volume_size=self.volume_size,
@@ -123,27 +126,29 @@ class Stage2Refiner128(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             remat=self.remat,
+            layout="NCDHW",
             name="vit_refiner",
         )(x, context, cond, train=train)
 
         residual_weight = self.param("residual_weight", nn.initializers.constant(0.5), (1,), jnp.float32)
-        base = _ndhwc(resize_trilinear(_nchw3d(volume_64), self.volume_size, align_corners=False))
+        base = _ndhwc(resize_trilinear(vol_nc, self.volume_size, align_corners=False))
         return base + residual_weight.astype(base.dtype) * refinement
 
 
 class _ConvGNGelu(nn.Module):
-    """One conv→GN→GELU unit, separable so each can be rematerialized on its
-    own: at 256³ a 64-ch activation is ~2 GB bf16 (4 GB after the 128-lane
-    channel padding), so per-layer remat bounds how many are live at once."""
+    """One NCDHW conv→GN→GELU unit, separable so each can be rematerialized
+    on its own (bounds how many 256³ activations are live in the backward)."""
 
     features: int
     groups: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Conv(self.features, (3, 3, 3), padding=1, kernel_init=torch_default_init, dtype=self.dtype)(x)
-        x = group_norm(self.groups, dtype=self.dtype)(x)
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, C, D, H, W)
+        from ..ops.conv3d import ConvNCDHW, GroupNormNCDHW
+
+        x = ConvNCDHW(self.features, 3, padding=1, dtype=self.dtype)(x)
+        x = GroupNormNCDHW(self.groups, dtype=self.dtype)(x)
         return gelu_exact(x)
 
 
@@ -155,12 +160,46 @@ class DetailEnhancer(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, base: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, base: jnp.ndarray) -> jnp.ndarray:  # (B, 1, D, H, W)
+        from ..ops.conv3d import ConvNCDHW
+
         layer_cls = nn.remat(_ConvGNGelu) if self.remat else _ConvGNGelu
         d = base.astype(self.dtype)
         for ch, g in [(64, 16), (32, 8)]:
             d = layer_cls(ch, g, dtype=self.dtype)(d)
-        return nn.Conv(1, (1, 1, 1), kernel_init=torch_default_init, dtype=self.dtype)(d)
+        return ConvNCDHW(1, 1, padding=0, dtype=self.dtype)(d)
+
+
+class Stage3ViTTrunk(nn.Module):
+    """upsample_from_128 stem + stage-3 ViT as one remat unit (see
+    Stage3Refiner256.__call__)."""
+
+    volume_size: Tuple[int, int, int]
+    voxel_dim: int
+    vit_depth: int
+    num_heads: int
+    xray_feature_dim: int
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
+    inner_remat: bool = True
+
+    @nn.compact
+    def __call__(self, vol_nc: jnp.ndarray, context: jnp.ndarray, cond: jnp.ndarray, train: bool = False):
+        x = UpsampleConvBlock(32, 8, dtype=self.dtype, name="upsample_from_128")(vol_nc)
+        return HybridViT3D(
+            volume_size=self.volume_size,
+            in_channels=32,
+            voxel_dim=self.voxel_dim,
+            depth=self.vit_depth,
+            num_heads=self.num_heads,
+            context_dim=self.xray_feature_dim,
+            cond_dim=1024,
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+            remat=self.inner_remat,
+            layout="NCDHW",
+            name="vit_refiner",
+        )(x, context, cond, train=train)
 
 
 class Stage3Refiner256(nn.Module):
@@ -184,33 +223,35 @@ class Stage3Refiner256(nn.Module):
         self, volume_128: jnp.ndarray, xray_feats: jnp.ndarray, cond: jnp.ndarray, train: bool = False
     ) -> jnp.ndarray:
         B = volume_128.shape[0]
-        up_cls = nn.remat(UpsampleConvBlock) if self.remat else UpsampleConvBlock
-        x = up_cls(32, 8, dtype=self.dtype, name="upsample_from_128")(volume_128)
+        vol_nc = _nchw3d(volume_128)  # (B, 1, 128³) — singleton move, no copy cost
         context = xray_feats.reshape(B, -1, self.xray_feature_dim)
-        refinement = HybridViT3D(
+        # upsample-conv + ViT fused into ONE remat region: a region boundary at
+        # the 32-ch 256³ upsample output would save an ~8 GB (padded-layout)
+        # residual; fusing makes the saved residual the 33 MB 1-ch input.
+        trunk_cls = nn.remat(Stage3ViTTrunk, static_argnums=(4,)) if self.remat else Stage3ViTTrunk
+        refinement = trunk_cls(
             volume_size=self.volume_size,
-            in_channels=32,
             voxel_dim=self.voxel_dim,
-            depth=self.vit_depth,
+            vit_depth=self.vit_depth,
             num_heads=self.num_heads,
-            context_dim=self.xray_feature_dim,
-            cond_dim=1024,
+            xray_feature_dim=self.xray_feature_dim,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
-            remat=self.remat,
-            name="vit_refiner",
-        )(x, context, cond, train=train)
+            inner_remat=self.remat,
+            name="vit_trunk",
+        )(vol_nc, context, cond, train)
 
-        base = _ndhwc(resize_trilinear(_nchw3d(volume_128), self.volume_size, align_corners=False))
+        base_nc = resize_trilinear(vol_nc, self.volume_size, align_corners=False)  # (B, 1, 256³)
 
-        details = DetailEnhancer(dtype=self.dtype, remat=self.remat, name="detail_enhancer")(base)
+        details = DetailEnhancer(dtype=self.dtype, remat=self.remat, name="detail_enhancer")(base_nc)
 
+        base = _ndhwc(base_nc)
         residual_weight = self.param("residual_weight", nn.initializers.constant(0.5), (1,), jnp.float32)
         detail_weight = self.param("detail_weight", nn.initializers.constant(0.3), (1,), jnp.float32)
         return (
             base
             + residual_weight.astype(base.dtype) * refinement
-            + detail_weight.astype(base.dtype) * details
+            + detail_weight.astype(base.dtype) * _ndhwc(details)
         )
 
 

@@ -138,11 +138,15 @@ class HybridViT3D(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False  # jax.checkpoint per block (ref: torch.utils.checkpoint)
+    # 'NDHWC' (channels-last) or 'NCDHW' (feature-first). NCDHW avoids the
+    # 128-lane channel padding for small-C high-res stems (ops/conv3d.py) —
+    # use it for the 128³/256³ refiner stages.
+    layout: str = "NDHWC"
 
     @nn.compact
     def __call__(
         self,
-        x: jnp.ndarray,  # (B, D, H, W, C)
+        x: jnp.ndarray,  # (B, D, H, W, C) for NDHWC / (B, C, D, H, W) for NCDHW
         context: jnp.ndarray,  # (B, M, context_dim)
         cond: jnp.ndarray,  # (B, cond_dim)
         prev_stage_embed: Optional[jnp.ndarray] = None,
@@ -153,12 +157,27 @@ class HybridViT3D(nn.Module):
         blocks_ch, last_ch, (Dd, Hd, Wd) = _stem_plan(self.volume_size, self.in_channels, self.voxel_dim)
 
         h = x.astype(self.dtype)
-        for out_ch in blocks_ch:
-            h = nn.Conv(out_ch, (3, 3, 3), strides=2, padding=1, kernel_init=torch_default_init, dtype=self.dtype)(h)
-            h = group_norm(min(8, out_ch), dtype=self.dtype)(h)
-            h = nn.silu(h)
-        if last_ch != self.voxel_dim:
-            h = nn.Conv(self.voxel_dim, (3, 3, 3), padding=1, kernel_init=torch_default_init, dtype=self.dtype)(h)
+        if self.layout == "NCDHW":
+            from ..ops.conv3d import ConvNCDHW, GroupNormNCDHW
+
+            # remat applied unconditionally (not gated on `train`): the wrapper
+            # changes the module path, so init/apply must agree
+            conv_cls = nn.remat(ConvNCDHW) if self.remat else ConvNCDHW
+            for out_ch in blocks_ch:
+                h = conv_cls(out_ch, 3, stride=2, padding=1, dtype=self.dtype)(h)
+                h = GroupNormNCDHW(min(8, out_ch), dtype=self.dtype)(h)
+                h = nn.silu(h)
+            if last_ch != self.voxel_dim:
+                h = ConvNCDHW(self.voxel_dim, 3, padding=1, dtype=self.dtype)(h)
+            # (B, C, Dd, Hd, Wd) → (B, N, C); small by now (≤32³ tokens)
+            h = jnp.moveaxis(h, 1, -1)
+        else:
+            for out_ch in blocks_ch:
+                h = nn.Conv(out_ch, (3, 3, 3), strides=2, padding=1, kernel_init=torch_default_init, dtype=self.dtype)(h)
+                h = group_norm(min(8, out_ch), dtype=self.dtype)(h)
+                h = nn.silu(h)
+            if last_ch != self.voxel_dim:
+                h = nn.Conv(self.voxel_dim, (3, 3, 3), padding=1, kernel_init=torch_default_init, dtype=self.dtype)(h)
 
         tokens = h.reshape(B, Dd * Hd * Wd, self.voxel_dim)
         pos_embed = self.param(
