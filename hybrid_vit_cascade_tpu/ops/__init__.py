@@ -5,6 +5,7 @@ numerical contract against the PyTorch reference, tested in tests/ against
 torch-CPU goldens.
 """
 
+from .conv3d import ConvNCDHW, GroupNormNCDHW, group_norm_core
 from .resize import (
     resize_linear,
     resize_bilinear,
@@ -17,6 +18,9 @@ from .ssim import ssim3d, ssim3d_map
 from .fft import fft_magnitude_3d, high_freq_mask
 
 __all__ = [
+    "ConvNCDHW",
+    "GroupNormNCDHW",
+    "group_norm_core",
     "resize_linear",
     "resize_bilinear",
     "resize_trilinear",
