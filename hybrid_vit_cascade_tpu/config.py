@@ -36,6 +36,7 @@ class ModelConfig:
     # cascade per-stage ViT depths/heads; H200 preset = (4,8,12)/(16,16,16)+voxel_dim 512
     stage_depths: Tuple[int, int, int] = (4, 6, 8)
     stage_heads: Tuple[int, int, int] = (4, 8, 8)
+    stage_sizes: Tuple[int, int, int] = (64, 128, 256)
     use_gradient_checkpointing: bool = True
     dtype: str = "float32"  # compute dtype: "float32" | "bfloat16"
     attn_impl: str = "auto"  # "auto" | "flash" | "xla"

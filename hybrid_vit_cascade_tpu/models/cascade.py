@@ -270,6 +270,9 @@ class ProgressiveCascadeModel(nn.Module):
     # stage_depths=(4, 8, 12), stage_heads=(16, 16, 16), voxel_dim=512.
     stage_depths: Tuple[int, int, int] = (4, 6, 8)
     stage_heads: Tuple[int, int, int] = (4, 8, 8)
+    # per-stage cube sizes (reference: 64→128→256); scaled-down values let the
+    # full stagewise pipeline run in CPU tests
+    stage_sizes: Tuple[int, int, int] = (64, 128, 256)
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
     use_gradient_checkpointing: bool = True
@@ -288,7 +291,9 @@ class ProgressiveCascadeModel(nn.Module):
         xray_encoder = MultiScaleXrayEncoder(
             base_dim=self.xray_feature_dim, num_views=2, dtype=self.dtype, name="xray_encoder"
         )
+        s1, s2, s3 = self.stage_sizes
         vol64 = Stage1Base64(
+            volume_size=(s1, s1, s1),
             voxel_dim=self.voxel_dim,
             vit_depth=self.stage_depths[0],
             num_heads=self.stage_heads[0],
@@ -302,6 +307,7 @@ class ProgressiveCascadeModel(nn.Module):
         if max_stage >= 2:
             feats2, cond, _ = xray_encoder(xrays, stage=2, train=train)
             vol128 = Stage2Refiner128(
+                volume_size=(s2, s2, s2),
                 voxel_dim=self.voxel_dim,
                 vit_depth=self.stage_depths[1],
                 num_heads=self.stage_heads[1],
@@ -315,6 +321,7 @@ class ProgressiveCascadeModel(nn.Module):
         if max_stage >= 3:
             feats3, cond, _ = xray_encoder(xrays, stage=3, train=train)
             vol256 = Stage3Refiner256(
+                volume_size=(s3, s3, s3),
                 voxel_dim=self.voxel_dim,
                 vit_depth=self.stage_depths[2],
                 num_heads=self.stage_heads[2],

@@ -72,6 +72,7 @@ def build_model(cfg: Config):
         return ProgressiveCascadeModel(
             xray_feature_dim=m.xray_feature_dim, voxel_dim=m.voxel_dim, dtype=dtype, attn_impl=m.attn_impl,
             stage_depths=tuple(m.stage_depths), stage_heads=tuple(m.stage_heads),
+            stage_sizes=tuple(m.stage_sizes),
             use_gradient_checkpointing=m.use_gradient_checkpointing,
         )
     if m.family == "direct128_h200":
@@ -208,7 +209,8 @@ class Trainer:
         d = self.cfg.data
         target_size = tuple(self.cfg.model.volume_size)
         if self.cfg.model.family == "cascade":
-            target_size = (256, 256, 256)
+            top = max(self.cfg.model.stage_sizes)
+            target_size = (top, top, top)
         elif self.cfg.model.family.startswith("direct128"):
             target_size = (128, 128, 128)
         elif self.cfg.model.family.startswith("direct256"):

@@ -113,6 +113,39 @@ class TestEndToEnd:
         assert log[-1]["psnr"] > 10.0, log[-1]
 
 
+class TestCascadeTrainer:
+    def test_fit_cascade_stagewise_tiny(self, tmp_path):
+        """End-to-end stagewise pipeline (train stage1 → freeze → stage2 →
+        freeze → stage3) at scaled-down cube sizes. Exercises per-stage
+        optimizers/masks, target resizing, per-stage checkpoints."""
+        from hybrid_vit_cascade_tpu.config import Config, StageConfig
+        from hybrid_vit_cascade_tpu.training import Trainer
+
+        cfg = Config()
+        cfg.model.family = "cascade"
+        cfg.model.voxel_dim = 32
+        cfg.model.xray_feature_dim = 32
+        cfg.model.stage_depths = (1, 1, 1)
+        cfg.model.stage_heads = (4, 4, 4)
+        cfg.model.stage_sizes = (16, 32, 64)
+        cfg.data.synthetic = True
+        cfg.data.synthetic_patients = 2
+        cfg.data.xray_size = 64
+        cfg.data.train_split = 1.0
+        cfg.data.val_split = 0.0
+        cfg.training.stages = {
+            "stage1": StageConfig(1, 2, 1e-3, (16, 16, 16)),
+            "stage2": StageConfig(1, 2, 1e-3, (32, 32, 32)),
+            "stage3": StageConfig(1, 2, 1e-3, (64, 64, 64)),
+        }
+        cfg.checkpoints.save_dir = str(tmp_path / "ckpt")
+        cfg.checkpoints.save_every = 0
+        metrics = Trainer(cfg).fit()
+        assert np.isfinite(metrics["loss"])
+        for stage in ("stage1", "stage2", "stage3"):
+            assert (tmp_path / "ckpt" / stage / "latest").exists(), stage
+
+
 class TestDiffusionTrainer:
     def test_diffusion_one_epoch(self, tmp_path):
         from hybrid_vit_cascade_tpu.training import Trainer
