@@ -40,6 +40,11 @@ class ModelConfig:
     use_gradient_checkpointing: bool = True
     dtype: str = "float32"  # compute dtype: "float32" | "bfloat16"
     attn_impl: str = "auto"  # "auto" | "flash" | "xla"
+    # depth-slab streaming of the stage-3 256³ conv branches (ops/slab.py):
+    # required to TRAIN stage 3 on a 16 GB chip; parameters are identical to
+    # the dense path so checkpoints interchange freely
+    stage3_slab_scan: bool = False
+    slab_count: int = 8
 
 
 @dataclass
@@ -55,6 +60,7 @@ class TrainingConfig:
     weight_decay: float = 0.01
     gradient_clip: float = 1.0
     seed: int = 0
+    diffusion_sample_steps: int = 20  # DDIM eval steps for the diffusion family
     num_epochs: int = 100          # single-model families
     batch_size: int = 8
     learning_rate: float = 1e-4

@@ -64,6 +64,7 @@ class Stage1Base64(nn.Module):
     xray_feature_dim: int = 512
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
+    store_attention: bool = False  # capture cross-attn maps for diagnostics
 
     @nn.compact
     def __call__(self, xrays: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -89,6 +90,7 @@ class Stage1Base64(nn.Module):
             cond_dim=1024,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            store_attention=self.store_attention,
             name="vit_backbone",
         )(x, context, cond, train=train)
         return vol  # (B, 64, 64, 64, 1) channels-last
@@ -135,44 +137,66 @@ class Stage2Refiner128(nn.Module):
         return base + residual_weight.astype(base.dtype) * refinement
 
 
-class _ConvGNGelu(nn.Module):
-    """One NCDHW conv→GN→GELU unit, separable so each can be rematerialized
-    on its own (bounds how many 256³ activations are live in the backward)."""
+class _ChainParams:
+    """Mixin-style helpers declaring conv/GroupNorm parameters for an
+    ops.slab chain spec (parent-owned so the dense and slab-streamed
+    execution paths share ONE parameter tree — a checkpoint trained with the
+    memory-lean slab schedule loads directly into the dense inference path)."""
 
-    features: int
-    groups: int
-    dtype: Dtype = jnp.float32
+    def _conv_op(self, name: str, out_ch: int, in_ch: int, k: int, stride: int):
+        kernel = self.param(f"{name}_kernel", torch_default_init, (out_ch, in_ch, k, k, k), jnp.float32)
+        bias = self.param(f"{name}_bias", nn.initializers.zeros, (out_ch,), jnp.float32)
+        return ("conv", kernel, bias, stride)
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, C, D, H, W)
-        from ..ops.conv3d import ConvNCDHW, GroupNormNCDHW
-
-        x = ConvNCDHW(self.features, 3, padding=1, dtype=self.dtype)(x)
-        x = GroupNormNCDHW(self.groups, dtype=self.dtype)(x)
-        return gelu_exact(x)
+    def _gn_op(self, name: str, ch: int, groups: int):
+        scale = self.param(f"{name}_scale", nn.initializers.ones, (ch,), jnp.float32)
+        bias = self.param(f"{name}_bias", nn.initializers.zeros, (ch,), jnp.float32)
+        return ("gn", groups, scale, bias)
 
 
-class DetailEnhancer(nn.Module):
+class DetailEnhancer(nn.Module, _ChainParams):
     """High-frequency CNN branch on the upsampled base volume
-    (model_progressive.py:259-267). Per-layer remat (see _ConvGNGelu)."""
+    (model_progressive.py:259-267): conv(1→64)→GN→GELU→conv(64→32)→GN→GELU→
+    conv1×1. With slab_scan=True the 64/32-channel full-resolution
+    activations never materialize (ops/slab.py) — required to train 256³ on
+    a 16 GB chip."""
 
     dtype: Dtype = jnp.float32
     remat: bool = False
+    slab_scan: bool = False
+    slab_count: int = 8
 
     @nn.compact
     def __call__(self, base: jnp.ndarray) -> jnp.ndarray:  # (B, 1, D, H, W)
-        from ..ops.conv3d import ConvNCDHW
+        from ..ops.slab import chain_apply_dense, chain_apply_slab
 
-        layer_cls = nn.remat(_ConvGNGelu) if self.remat else _ConvGNGelu
-        d = base.astype(self.dtype)
-        for ch, g in [(64, 16), (32, 8)]:
-            d = layer_cls(ch, g, dtype=self.dtype)(d)
-        return ConvNCDHW(1, 1, padding=0, dtype=self.dtype)(d)
+        chain = [
+            self._conv_op("conv0", 64, 1, 3, 1),
+            self._gn_op("gn0", 64, 16),
+            ("act", "gelu"),
+            self._conv_op("conv1", 32, 64, 3, 1),
+            self._gn_op("gn1", 32, 8),
+            ("act", "gelu"),
+            self._conv_op("conv_out", 1, 32, 1, 1),
+        ]
+        if self.slab_scan:
+            return chain_apply_slab(base, chain, self.slab_count, dtype=self.dtype)
+        if self.remat:
+            from ..ops.slab import chain_apply_dense_remat
+
+            return chain_apply_dense_remat(base, chain, self.dtype)
+        return chain_apply_dense(base, chain, self.dtype)
 
 
-class Stage3ViTTrunk(nn.Module):
-    """upsample_from_128 stem + stage-3 ViT as one remat unit (see
-    Stage3Refiner256.__call__)."""
+class Stage3ViTTrunk(nn.Module, _ChainParams):
+    """Stage-3 trunk: ×2 trilinear upsample → conv(1→32)+GN+GELU (the
+    reference's upsample_from_128, model_progressive.py:238-243) → the ViT's
+    stride-2 token stem → stage-3 ViT blocks.
+
+    The upsample conv and the ViT stem are fused into ONE ops/slab chain so
+    the 32-channel 256³ activation (the round-1 OOM buffer: ~8 GB at the
+    TPU's channel-minor padded layout) exists only slab-by-slab when
+    slab_scan=True; the ViT itself runs on the 32³ token grid (16 MB)."""
 
     volume_size: Tuple[int, int, int]
     voxel_dim: int
@@ -182,13 +206,40 @@ class Stage3ViTTrunk(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
     inner_remat: bool = True
+    slab_scan: bool = False
+    slab_count: int = 8
 
     @nn.compact
     def __call__(self, vol_nc: jnp.ndarray, context: jnp.ndarray, cond: jnp.ndarray, train: bool = False):
-        x = UpsampleConvBlock(32, 8, dtype=self.dtype, name="upsample_from_128")(vol_nc)
+        from ..ops.slab import chain_apply_dense, chain_apply_slab
+        from .vit3d import _stem_plan
+
+        d, h, w = vol_nc.shape[2:5]
+        x1 = resize_trilinear(vol_nc, (2 * d, 2 * h, 2 * w), align_corners=False).astype(self.dtype)
+
+        blocks_ch, last_ch, _ = _stem_plan(self.volume_size, 32, self.voxel_dim)
+        chain = [
+            self._conv_op("upsample_conv", 32, 1, 3, 1),
+            self._gn_op("upsample_gn", 32, 8),
+            ("act", "gelu"),
+        ]
+        in_ch = 32
+        for i, out_ch in enumerate(blocks_ch):
+            chain.append(self._conv_op(f"stem_conv{i}", out_ch, in_ch, 3, 2))
+            chain.append(self._gn_op(f"stem_gn{i}", out_ch, min(8, out_ch)))
+            chain.append(("act", "silu"))
+            in_ch = out_ch
+        if last_ch != self.voxel_dim:
+            chain.append(self._conv_op("proj_conv", self.voxel_dim, in_ch, 3, 1))
+
+        if self.slab_scan:
+            feat = chain_apply_slab(x1, chain, self.slab_count, dtype=self.dtype)
+        else:
+            feat = chain_apply_dense(x1, chain, dtype=self.dtype)
+
         return HybridViT3D(
             volume_size=self.volume_size,
-            in_channels=32,
+            in_channels=self.voxel_dim,
             voxel_dim=self.voxel_dim,
             depth=self.vit_depth,
             num_heads=self.num_heads,
@@ -198,8 +249,9 @@ class Stage3ViTTrunk(nn.Module):
             attn_impl=self.attn_impl,
             remat=self.inner_remat,
             layout="NCDHW",
+            external_stem=True,
             name="vit_refiner",
-        )(x, context, cond, train=train)
+        )(feat, context, cond, train=train)
 
 
 class Stage3Refiner256(nn.Module):
@@ -217,6 +269,11 @@ class Stage3Refiner256(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
     remat: bool = True
+    # stream the 256³ conv branches depth-slab-wise (ops/slab.py) — the
+    # full-resolution intermediates never materialize, so no outer remat
+    # region is needed; parameters are identical either way.
+    slab_scan: bool = False
+    slab_count: int = 8
 
     @nn.compact
     def __call__(
@@ -225,10 +282,14 @@ class Stage3Refiner256(nn.Module):
         B = volume_128.shape[0]
         vol_nc = _nchw3d(volume_128)  # (B, 1, 128³) — singleton move, no copy cost
         context = xray_feats.reshape(B, -1, self.xray_feature_dim)
-        # upsample-conv + ViT fused into ONE remat region: a region boundary at
-        # the 32-ch 256³ upsample output would save an ~8 GB (padded-layout)
-        # residual; fusing makes the saved residual the 33 MB 1-ch input.
-        trunk_cls = nn.remat(Stage3ViTTrunk, static_argnums=(4,)) if self.remat else Stage3ViTTrunk
+        # Without slab streaming, upsample-conv + ViT fuse into ONE remat
+        # region: a region boundary at the 32-ch 256³ upsample output would
+        # save an ~8 GB (padded-layout) residual; fusing makes the saved
+        # residual the 33 MB 1-ch input. With slab streaming the chain is
+        # internally rematerialized per slab, so no outer region is needed.
+        trunk_cls = Stage3ViTTrunk
+        if self.remat and not self.slab_scan:
+            trunk_cls = nn.remat(Stage3ViTTrunk, static_argnums=(4,))
         refinement = trunk_cls(
             volume_size=self.volume_size,
             voxel_dim=self.voxel_dim,
@@ -238,12 +299,17 @@ class Stage3Refiner256(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             inner_remat=self.remat,
+            slab_scan=self.slab_scan,
+            slab_count=self.slab_count,
             name="vit_trunk",
         )(vol_nc, context, cond, train)
 
         base_nc = resize_trilinear(vol_nc, self.volume_size, align_corners=False)  # (B, 1, 256³)
 
-        details = DetailEnhancer(dtype=self.dtype, remat=self.remat, name="detail_enhancer")(base_nc)
+        details = DetailEnhancer(
+            dtype=self.dtype, remat=self.remat and not self.slab_scan,
+            slab_scan=self.slab_scan, slab_count=self.slab_count, name="detail_enhancer",
+        )(base_nc)
 
         base = _ndhwc(base_nc)
         residual_weight = self.param("residual_weight", nn.initializers.constant(0.5), (1,), jnp.float32)
@@ -276,6 +342,13 @@ class ProgressiveCascadeModel(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
     use_gradient_checkpointing: bool = True
+    # depth-slab streaming of the stage-3 256³ conv branches (ops/slab.py);
+    # same parameters either way — flip freely between train and inference
+    stage3_slab_scan: bool = False
+    slab_count: int = 8
+    # capture stage-1 cross-attention maps into 'intermediates' (run apply
+    # with mutable=['intermediates'], then models.collect_attention_maps)
+    store_attention: bool = False
 
     @nn.compact
     def __call__(
@@ -300,6 +373,7 @@ class ProgressiveCascadeModel(nn.Module):
             xray_feature_dim=self.xray_feature_dim,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            store_attention=self.store_attention,
             name="stage1",
         )(xrays, train=train)
         outputs["stage1"] = _nchw3d(vol64)
@@ -329,6 +403,8 @@ class ProgressiveCascadeModel(nn.Module):
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
                 remat=self.use_gradient_checkpointing,
+                slab_scan=self.stage3_slab_scan,
+                slab_count=self.slab_count,
                 name="stage3",
             )(vol128, feats3, cond, train=train)
             outputs["stage3"] = _nchw3d(vol256)

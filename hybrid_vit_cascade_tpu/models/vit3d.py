@@ -40,6 +40,7 @@ class HybridViTBlock3D(nn.Module):
     use_prev_stage: bool = False
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
+    store_attention: bool = False  # sow cross-attn probs (vit_components.py:63-108)
 
     @nn.compact
     def __call__(
@@ -74,6 +75,7 @@ class HybridViTBlock3D(nn.Module):
             self.dropout,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            store_attention=self.store_attention,
         )(h, context, train=train)
         x = x + h
 
@@ -142,6 +144,11 @@ class HybridViT3D(nn.Module):
     # 128-lane channel padding for small-C high-res stems (ops/conv3d.py) —
     # use it for the 128³/256³ refiner stages.
     layout: str = "NDHWC"
+    # the caller already ran the token stem (e.g. slab-streamed with the
+    # upsample conv, models/cascade.py Stage3ViTTrunk): input is the
+    # (B, voxel_dim, Dd, Hd, Wd) feature map, the conv stem is skipped.
+    external_stem: bool = False
+    store_attention: bool = False  # sow cross-attn probs per block
 
     @nn.compact
     def __call__(
@@ -157,7 +164,11 @@ class HybridViT3D(nn.Module):
         blocks_ch, last_ch, (Dd, Hd, Wd) = _stem_plan(self.volume_size, self.in_channels, self.voxel_dim)
 
         h = x.astype(self.dtype)
-        if self.layout == "NCDHW":
+        if self.external_stem:
+            assert self.layout == "NCDHW" and x.shape[1] == self.voxel_dim, x.shape
+            Dd, Hd, Wd = x.shape[2:5]
+            h = jnp.moveaxis(h, 1, -1)
+        elif self.layout == "NCDHW":
             from ..ops.conv3d import ConvNCDHW, GroupNormNCDHW
 
             # remat applied unconditionally (not gated on `train`): the wrapper
@@ -187,6 +198,13 @@ class HybridViT3D(nn.Module):
             jnp.float32,
         )
         tokens = tokens + pos_embed.astype(tokens.dtype)
+        # Sequence-shard voxel tokens over the mesh's 'model' axis when one is
+        # ambient (no-op otherwise): Q stays sharded through the blocks, K/V
+        # are all-gathered by the partitioner. NOTE: requires the XLA
+        # attention path for partitioning; pallas_call is not GSPMD-visible.
+        from ..parallel import shard_tokens
+
+        tokens = shard_tokens(tokens)
 
         block_cls = HybridViTBlock3D
         if self.remat:
@@ -201,7 +219,9 @@ class HybridViT3D(nn.Module):
                 use_prev_stage=self.use_prev_stage,
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
+                store_attention=self.store_attention,
             )(tokens, context, cond, prev_stage_embed, train)
+            tokens = shard_tokens(tokens)  # keep the layout pinned per block
 
         tokens = layer_norm(self.dtype)(tokens)
         out = nn.Dense(1, kernel_init=torch_default_init, dtype=self.dtype)(tokens)

@@ -1,0 +1,267 @@
+"""D-slab streaming execution of NCDHW conv→GroupNorm→activation chains.
+
+Why this exists: the cascade's 256³ conv branches (stage-3 upsample stem and
+detail-enhancer CNN, reference model_progressive.py:219-316) produce 32–64
+channel 256³ activations. XLA lays conv activations out channel-minor on TPU,
+so a 32-channel tensor pads its 128-lane tile 4× — a single such bf16
+activation is ~4 GB physical, and training stage 3 needs several of them live
+at once, which is why the naive formulation needs 26+ GB on a 15.75 GB chip
+(the reference needed 35–180 GB on GPUs for this stage).
+
+Here the full-resolution intermediates NEVER materialize: the chain is
+evaluated in depth-slabs under `lax.scan`, each slab body rematerialized in
+the backward pass (`jax.checkpoint`), with exact conv halos sliced from the
+(small, usually 1-channel) chain input. GroupNorm needs global statistics, so
+a chain with K GroupNorms runs K+1 passes: pass k streams the slabs through
+the chain prefix to accumulate the k-th norm's (sum, sum-of-squares), the
+final pass emits the output slabs. The extra conv recompute is a few percent
+of a train step; the padded whole-volume liveness it removes is the
+difference between fitting the chip and not.
+
+Numerics match `ops.conv3d.group_norm_core` (fp32 statistics,
+var = E[x²]−E[x]² clamped ≥ 0, eps 1e-5, normalization arithmetic in the
+input dtype) — `chain_apply_dense` and `chain_apply_slab` are tested for
+equality.
+
+Op spec (a list of tuples; arrays are traced leaves):
+  ("conv", kernel (O,I,k,k,k), bias (O,) | None, stride)   k ∈ {1,3}, stride ∈ {1,2}
+  ("gn",   num_groups, scale (C,), bias (C,))
+  ("act",  "gelu" | "silu")
+Convs use SAME padding (k//2) in H/W and virtual zero padding in D; stride
+applies to all three spatial dims.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .conv3d import group_norm_core
+
+
+def conv3d_ncdhw(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray],
+                 stride: int, d_padding: int, hw_padding: int, dtype=None) -> jnp.ndarray:
+    """Functional NCDHW conv (weights OIDHW); D and H/W padding separately
+    controllable so slab bodies can run VALID in D on pre-haloed slabs."""
+    dtype = dtype or x.dtype
+    out = lax.conv_general_dilated(
+        x.astype(dtype),
+        kernel.astype(dtype),
+        window_strides=(stride,) * 3,
+        padding=[(d_padding, d_padding), (hw_padding, hw_padding), (hw_padding, hw_padding)],
+        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+    )
+    if bias is not None:
+        out = out + bias.astype(out.dtype)[None, :, None, None, None]
+    return out
+
+
+def _act(name: str, x: jnp.ndarray) -> jnp.ndarray:
+    if name == "gelu":  # torch nn.GELU default (erf form)
+        return jax.nn.gelu(x, approximate=False)
+    if name == "silu":
+        return jax.nn.silu(x)
+    raise ValueError(name)
+
+
+def _gn_normalize(x: jnp.ndarray, groups: int, scale: jnp.ndarray, bias: jnp.ndarray,
+                  mean: jnp.ndarray, inv: jnp.ndarray) -> jnp.ndarray:
+    """Apply GroupNorm given global per-(B, G) stats, bitwise-matching
+    ops.conv3d._gn_fwd_impl's normalization arithmetic."""
+    B, C = x.shape[0], x.shape[1]
+    xr = x.reshape(B, groups, C // groups, *x.shape[2:])
+    m = mean.reshape(B, groups, *([1] * (xr.ndim - 2))).astype(x.dtype)
+    iv = inv.reshape(B, groups, *([1] * (xr.ndim - 2))).astype(x.dtype)
+    xhat = ((xr - m) * iv).reshape(x.shape)
+    bshape = (1, C) + (1,) * (x.ndim - 2)
+    return xhat * scale.astype(x.dtype).reshape(bshape) + bias.astype(x.dtype).reshape(bshape)
+
+
+def _stats_from_sums(s1: jnp.ndarray, s2: jnp.ndarray, count) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    mean = s1 / count
+    var = jnp.maximum(s2 / count - lax.square(mean), 0.0)
+    return mean, lax.rsqrt(var + 1e-5)
+
+
+def chain_arrays(chain: Sequence[Tuple]) -> List[jnp.ndarray]:
+    """The traced array leaves of a chain spec (kernels/biases/scales), in
+    order — chain specs mix static fields (strides, group counts, act names)
+    with arrays, so they can't cross jax transform boundaries whole."""
+    return [p for op in chain for p in op[1:] if isinstance(p, jnp.ndarray)]
+
+
+def chain_rebuild(chain: Sequence[Tuple], arrays: Sequence[jnp.ndarray]) -> List[Tuple]:
+    it = iter(arrays)
+    return [tuple(next(it) if isinstance(p, jnp.ndarray) else p for p in op) for op in chain]
+
+
+def chain_apply_dense_remat(x: jnp.ndarray, chain: Sequence[Tuple], dtype=None) -> jnp.ndarray:
+    """chain_apply_dense under jax.checkpoint (arrays split out so the static
+    spec fields stay out of the transform)."""
+    arrs = chain_arrays(chain)
+
+    @jax.checkpoint
+    def f(x, arrs):
+        return chain_apply_dense(x, chain_rebuild(chain, arrs), dtype)
+
+    return f(x, arrs)
+
+
+def chain_apply_dense(x: jnp.ndarray, chain: Sequence[Tuple], dtype=None) -> jnp.ndarray:
+    """Reference whole-volume evaluation of the chain (GroupNorm through the
+    memory-lean custom-VJP core). Used for small volumes and as the numerical
+    oracle for the slab path."""
+    from ..parallel import shard_spatial_d
+
+    dtype = dtype or x.dtype
+    h = shard_spatial_d(x.astype(dtype))
+    for op in chain:
+        if op[0] == "conv":
+            _, kernel, bias, stride = op
+            k = kernel.shape[-1]
+            h = conv3d_ncdhw(h, kernel, bias, stride, d_padding=k // 2, hw_padding=k // 2, dtype=dtype)
+            h = shard_spatial_d(h)  # D-sharded over 'model'; GSPMD adds halos
+        elif op[0] == "gn":
+            _, groups, scale, bias = op
+            h = group_norm_core(h, scale, bias, groups).astype(dtype)
+        elif op[0] == "act":
+            h = _act(op[1], h)
+        else:
+            raise ValueError(op[0])
+    return h
+
+
+def _walk_back(chain: Sequence[Tuple], upto: int) -> Tuple[int, int, int]:
+    """Affine map from an output D-range [s, e) at op index `upto` (exclusive)
+    back to the required input D-range [F·s + c_lo, F·e + c_hi).
+
+    conv k3 s1: [s-1, e+1) ; conv k3 s2: [2s-1, 2e) ; k1 / gn / act: identity.
+    """
+    F, c_lo, c_hi = 1, 0, 0
+    for op in reversed(chain[:upto]):
+        if op[0] != "conv":
+            continue
+        k = op[1].shape[-1]
+        stride = op[3]
+        if stride == 2:
+            assert k == 3, "slab walk supports k3 for strided convs"
+            F, c_lo, c_hi = 2 * F, 2 * c_lo - 1, 2 * c_hi
+        elif k == 3:
+            c_lo, c_hi = c_lo - 1, c_hi + 1
+        else:
+            assert k == 1
+    return F, c_lo, c_hi
+
+
+def _level_shape(chain: Sequence[Tuple], upto: int, in_shape) -> Tuple[int, int, int, int]:
+    """(C, D, H, W) of the activation entering op index `upto`."""
+    C, D, H, W = in_shape[1], in_shape[2], in_shape[3], in_shape[4]
+    for op in chain[:upto]:
+        if op[0] == "conv":
+            C = op[1].shape[0]
+            s = op[3]
+            D, H, W = D // s, H // s, W // s
+    return C, D, H, W
+
+
+def _mask_outside(h: jnp.ndarray, lo, level_d: int) -> jnp.ndarray:
+    """Zero D-positions whose global coordinate falls outside [0, level_d) —
+    replicating dense SAME-conv semantics, where each conv zero-pads ITS OWN
+    input: at volume edges the chained intermediate is a zero pad, not the
+    value a conv of the zero-padded original input would produce."""
+    coords = lo + lax.iota(jnp.int32, h.shape[2])
+    valid = (coords >= 0) & (coords < level_d)
+    return h * valid.astype(h.dtype)[None, None, :, None, None]
+
+
+def _run_prefix(islab: jnp.ndarray, chain: Sequence[Tuple], upto: int,
+                stats: List[Optional[Tuple[jnp.ndarray, jnp.ndarray]]], dtype,
+                lo, level_d: int) -> jnp.ndarray:
+    """Evaluate chain[:upto] on a D-extended slab (convs VALID in D).
+
+    `lo` (traced) is the global D-coordinate of the slab's first element and
+    `level_d` the full volume depth at the current level; both walk forward
+    through strided convs so out-of-volume positions can be zeroed exactly
+    like the dense path's per-conv zero padding."""
+    h = islab
+    gn_i = 0
+    for op in chain[:upto]:
+        if op[0] == "conv":
+            _, kernel, bias, stride = op
+            k = kernel.shape[-1]
+            h = _mask_outside(h, lo, level_d)
+            h = conv3d_ncdhw(h, kernel, bias, stride, d_padding=0, hw_padding=k // 2, dtype=dtype)
+            if k == 3:
+                lo = lo + 1  # first VALID output coord (= window center for s2)
+            if stride == 2:
+                lo = lo // 2  # center → output index (centers are even by slab alignment)
+                level_d = level_d // 2
+        elif op[0] == "gn":
+            _, groups, scale, bias = op
+            mean, inv = stats[gn_i]
+            h = _gn_normalize(h, groups, scale, bias, mean, inv)
+            gn_i += 1
+        else:
+            h = _act(op[1], h)
+    return h
+
+
+def chain_apply_slab(x: jnp.ndarray, chain: Sequence[Tuple], num_slabs: int = 8,
+                     dtype=None) -> jnp.ndarray:
+    """Streaming evaluation: identical math to chain_apply_dense, but no
+    intermediate ever exceeds one D-slab (+conv halo) of the volume."""
+    dtype = dtype or x.dtype
+    x = x.astype(dtype)
+    B = x.shape[0]
+    gn_positions = [i for i, op in enumerate(chain) if op[0] == "gn"]
+
+    def run_pass(upto: Optional[int], stats: List) -> Any:
+        """upto=index of a gn op → accumulate its (sum, sumsq); upto=None →
+        emit the chain output."""
+        end = len(chain) if upto is None else upto
+        C_out, D_out, H_out, W_out = _level_shape(chain, end, x.shape)
+        n = num_slabs
+        while D_out % n:
+            n //= 2
+        n = max(n, 1)
+        sd = D_out // n
+        F, c_lo, c_hi = _walk_back(chain, end)
+        ext = F * sd + (c_hi - c_lo)
+        pad_lo, pad_hi = -c_lo, max(0, F * D_out + c_hi - x.shape[2])
+        xp = jnp.pad(x, ((0, 0), (0, 0), (pad_lo, pad_hi), (0, 0), (0, 0)))
+
+        if upto is not None:
+            groups = chain[upto][1]
+
+        @jax.checkpoint
+        def body(carry, j):
+            start = j * (F * sd)  # == global in-coord F·s + c_lo, shifted by pad_lo
+            islab = lax.dynamic_slice(
+                xp, (0, 0, start, 0, 0), (B, x.shape[1], ext, xp.shape[3], xp.shape[4])
+            )
+            h = _run_prefix(islab, chain, end, stats, dtype, start + c_lo, x.shape[2])
+            if upto is None:
+                return carry, h
+            hr = h.reshape(B, groups, -1)
+            s1 = carry[0] + jnp.sum(hr.astype(jnp.float32), axis=-1)
+            s2 = carry[1] + jnp.sum(lax.square(hr.astype(jnp.float32)), axis=-1)
+            return (s1, s2), None
+
+        if upto is None:
+            _, ys = lax.scan(body, 0, jnp.arange(n))
+            # (n, B, C, sd, H, W) → (B, C, D, H, W)
+            return jnp.moveaxis(ys, 0, 2).reshape(B, C_out, D_out, H_out, W_out)
+        groups = chain[upto][1]
+        zeros = jnp.zeros((B, groups), jnp.float32)
+        (s1, s2), _ = lax.scan(body, (zeros, zeros), jnp.arange(n))
+        count = (C_out // groups) * D_out * H_out * W_out
+        return _stats_from_sums(s1, s2, float(count))
+
+    stats: List = []
+    for gi in gn_positions:
+        stats.append(run_pass(gi, stats))
+    return run_pass(None, stats)

@@ -7,6 +7,24 @@ declarations: parameters replicated, batches sharded over the 'data' axis,
 gradient all-reduce inserted automatically by XLA over ICI.
 """
 
-from .mesh import make_mesh, data_sharding, replicated_sharding, local_device_count
+from .mesh import (
+    ambient_mesh,
+    data_sharding,
+    local_device_count,
+    make_mesh,
+    model_axis_size,
+    replicated_sharding,
+    shard_spatial_d,
+    shard_tokens,
+)
 
-__all__ = ["make_mesh", "data_sharding", "replicated_sharding", "local_device_count"]
+__all__ = [
+    "ambient_mesh",
+    "data_sharding",
+    "local_device_count",
+    "make_mesh",
+    "model_axis_size",
+    "replicated_sharding",
+    "shard_spatial_d",
+    "shard_tokens",
+]

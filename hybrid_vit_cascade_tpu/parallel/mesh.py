@@ -42,3 +42,50 @@ def data_sharding(mesh: Mesh, batch_axis: int = 0) -> NamedSharding:
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def ambient_mesh() -> Optional[Mesh]:
+    """The mesh installed by `with mesh:` around the jitted call — visible
+    during tracing, which is when the model's sharding constraints run.
+    (jax.sharding.get_mesh() raises inside jit; the thread-resources env is
+    the mechanism the Mesh context manager actually sets.)"""
+    import warnings
+
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            from jax.interpreters import pxla
+
+            m = pxla.thread_resources.env.physical_mesh
+        return None if m.empty else m
+    except Exception:
+        return None
+
+
+def model_axis_size() -> int:
+    m = ambient_mesh()
+    if m is None:
+        return 1
+    return int(dict(m.shape).get("model", 1))
+
+
+def shard_tokens(x, token_axis: int = 1):
+    """Sequence-shard a (B, N, C) token array over the mesh's 'model' axis
+    (no-op without an ambient mesh or with model=1). The XLA partitioner
+    all-gathers K/V for the sharded-Q attention and partitions everything
+    elementwise — the TPU-native replacement for the sequence parallelism
+    the reference lacks (SURVEY.md §5 long-context)."""
+    if model_axis_size() <= 1:
+        return x
+    spec = [None] * x.ndim
+    spec[token_axis] = "model"
+    return jax.lax.with_sharding_constraint(x, P(*spec))
+
+
+def shard_spatial_d(x):
+    """Shard a (B, C, D, H, W) conv activation over depth on the 'model'
+    axis; GSPMD inserts the conv halo exchanges (SURVEY.md §7:
+    'activation-sharded shard_map over the spatial D axis')."""
+    if model_axis_size() <= 1:
+        return x
+    return jax.lax.with_sharding_constraint(x, P(None, None, "model", None, None))
