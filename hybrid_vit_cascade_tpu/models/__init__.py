@@ -6,7 +6,7 @@ without relearning shapes; internally everything is NDHWC for TPU.
 """
 
 from .layers import AdaLNModulation, Mlp, SinusoidalTimeEmbedding
-from .attention import MultiHeadCrossAttention, MultiHeadSelfAttention
+from .attention import MultiHeadCrossAttention, MultiHeadSelfAttention, collect_attention_maps
 from .vit3d import HybridViT3D, HybridViTBlock3D
 from .encoders import (
     MultiScaleXrayEncoder,

@@ -12,10 +12,31 @@ Differences from the reference, by design:
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops.attention import dot_product_attention
 from .layers import Dtype, torch_default_init
+
+
+def collect_attention_maps(intermediates) -> dict:
+    """Gather cross-attention probabilities sown by MultiHeadCrossAttention
+    into the dict DiagnosticLosses consumes: run
+    `out, st = model.apply(vars, x, mutable=["intermediates"])`, then
+    `collect_attention_maps(st["intermediates"])` →
+    {"cross_attention": (B, H, N, M) mean over blocks} (empty dict when no
+    module captured)."""
+    import jax as _jax
+
+    maps = [
+        leaf
+        for path, leaf in _jax.tree_util.tree_flatten_with_path(intermediates)[0]
+        if any(getattr(k, "key", None) == "attention_weights" for k in path)
+    ]
+    if not maps:
+        return {}
+    same = [m for m in maps if m.shape == maps[0].shape]
+    return {"cross_attention": sum(same) / len(same)}
 
 
 class MultiHeadSelfAttention(nn.Module):
@@ -46,7 +67,13 @@ class MultiHeadSelfAttention(nn.Module):
 class MultiHeadCrossAttention(nn.Module):
     """Q from voxel tokens, K/V from X-ray feature tokens
     (vit_components.py:60-119). N_q up to 32,768 and N_kv up to 262,144 in the
-    stage-3 configuration — the flash path streams K/V blockwise."""
+    stage-3 configuration — the flash path streams K/V blockwise.
+
+    store_attention=True sows the fp32 attention probabilities (B, H, N, M)
+    into the 'intermediates' collection (the reference's
+    `store_attention`/`attention_weights` capture, vit_components.py:63-108),
+    feeding DiagnosticLosses' cross-attention entropy/sparsity terms. Forces
+    the score-materializing XLA path — use at stage-1 token counts."""
 
     embed_dim: int
     context_dim: int
@@ -54,6 +81,7 @@ class MultiHeadCrossAttention(nn.Module):
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
+    store_attention: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -66,7 +94,14 @@ class MultiHeadCrossAttention(nn.Module):
         q = q.reshape(B, N, H, Dh).transpose(0, 2, 1, 3)
         kv = kv.reshape(B, M, 2, H, Dh).transpose(2, 0, 3, 1, 4)
         k, v = kv[0], kv[1]
-        out = dot_product_attention(q, k, v, scale=Dh ** -0.5, impl=self.attn_impl)
+        if self.store_attention:
+            out, probs = dot_product_attention(
+                q, k, v, scale=Dh ** -0.5, impl="xla", return_probs=True
+            )
+            # detached, like the reference's .detach() capture (:107-108)
+            self.sow("intermediates", "attention_weights", jax.lax.stop_gradient(probs))
+        else:
+            out = dot_product_attention(q, k, v, scale=Dh ** -0.5, impl=self.attn_impl)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, E)
         out = nn.Dropout(self.dropout, deterministic=not train)(out)
         out = nn.Dense(E, kernel_init=torch_default_init, dtype=self.dtype)(out)

@@ -27,6 +27,7 @@ class DirectCTRegression(nn.Module):
     xray_feature_dim: int = 512
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
+    store_attention: bool = False  # capture cross-attn maps for diagnostics
 
     @nn.compact
     def __call__(self, xrays: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -59,6 +60,7 @@ class DirectCTRegression(nn.Module):
             cond_dim=1024,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            store_attention=self.store_attention,
             name="vit_backbone",
         )(x, context, time_xray_cond, train=train)
 
