@@ -63,14 +63,23 @@ class CheckpointManager:
         tmp.rename(path)
         (path / "meta.json").write_text(json.dumps(meta, indent=2, default=float))
 
-    def save(self, pytree, epoch: int, metrics: Dict[str, float], config: Optional[dict] = None) -> Dict[str, bool]:
+    def save(self, pytree, epoch: int, metrics: Dict[str, float], config: Optional[dict] = None,
+             opt: Optional[Any] = None) -> Dict[str, bool]:
         """Save 'latest' (+ periodic) and update best-by-metric checkpoints.
         metrics: {'loss': val_loss, 'psnr': ..., 'ssim': ...}. Returns which
-        best tags were improved."""
+        best tags were improved.
+
+        `opt` (optimizer state + step) is stored as a sibling item
+        'latest_opt', kept out of the model tree so inference/transfer
+        templates stay unchanged — the reference's checkpoint format keeps
+        optimizer_state_dict alongside model_state_dict for resume
+        (resume_direct128.py:87-88,231-243)."""
         if jax.process_index() != 0:
             return {}
         meta = {"epoch": epoch, "metrics": metrics, "config": config or {}}
         self._write("latest", pytree, meta)
+        if opt is not None:
+            self._write("latest_opt", opt, meta)
         if self.save_every and (epoch + 1) % self.save_every == 0:
             self._write(f"epoch_{epoch:04d}", pytree, meta)
         improved = {}
@@ -102,6 +111,19 @@ class CheckpointManager:
         if not (self.save_dir / "latest").exists():
             return None
         return self.restore("latest", template)
+
+    def restore_opt(self, template) -> Optional[Any]:
+        """Restore the optimizer-state sibling of 'latest' (None when the
+        checkpoint predates opt-state saving or structure mismatches, e.g.
+        after an optimizer-config change — resume then proceeds with fresh
+        optimizer state, the pre-fix behavior)."""
+        if not (self.save_dir / "latest_opt").exists():
+            return None
+        try:
+            restored, _ = self.restore("latest_opt", template)
+            return restored
+        except Exception:
+            return None
 
 
 def filtered_restore(params: Dict, loaded: Dict, include_prefixes: Sequence[str]) -> Dict:

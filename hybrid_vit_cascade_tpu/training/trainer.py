@@ -74,6 +74,7 @@ def build_model(cfg: Config):
             stage_depths=tuple(m.stage_depths), stage_heads=tuple(m.stage_heads),
             stage_sizes=tuple(m.stage_sizes),
             use_gradient_checkpointing=m.use_gradient_checkpointing,
+            stage3_slab_scan=m.stage3_slab_scan, slab_count=m.slab_count,
         )
     if m.family == "direct128_h200":
         return Direct128ModelH200(xray_feature_dim=m.xray_feature_dim, dtype=dtype,
@@ -260,8 +261,12 @@ class Trainer:
         repl = replicated_sharding(mesh if mesh is not None else self.mesh)
         params = jax.device_put(params, repl)
         batch_stats = jax.device_put(batch_stats, repl)
+        # step is device_put like everything else: checkpoint restore places
+        # arrays per the template's sharding, and a mix of committed
+        # single-device and mesh-replicated arrays breaks the jitted step
         return TrainState(
-            step=jnp.zeros((), jnp.int32), params=params, batch_stats=batch_stats,
+            step=jax.device_put(jnp.zeros((), jnp.int32), repl), params=params,
+            batch_stats=batch_stats,
             opt_state=jax.device_put(tx.init(params), repl), tx=tx,
         )
 
@@ -284,11 +289,7 @@ class Trainer:
         state = self._make_state(variables, tx, mesh)
         start_epoch = 0
         if resume:
-            restored = self.ckpt.restore_latest({"params": state.params, "batch_stats": state.batch_stats})
-            if restored is not None:
-                tree, meta = restored
-                state = state.replace(params=tree["params"], batch_stats=tree["batch_stats"])
-                start_epoch = int(meta.get("epoch", -1)) + 1
+            state, start_epoch = self._restore_state(self.ckpt, state)
 
         if fam == "direct_vit":
             loss_obj = MultiScaleLoss({"stage1": self.cfg.loss.stage1})
@@ -301,6 +302,20 @@ class Trainer:
         eval_step = make_eval_step(self.model, lambda b: b["ct_volume"])
         return self._run_epochs(state, train_step, eval_step, t.batch_size, start_epoch, epochs, lr,
                                 progress, mesh=mesh)
+
+    def _restore_state(self, ckpt: CheckpointManager, state: TrainState) -> Tuple[TrainState, int]:
+        """Restore params/batch_stats (+ optimizer state and step when the
+        checkpoint carries them) from `latest`. Returns (state, start_epoch);
+        (state, 0) untouched when nothing is saved yet."""
+        restored = ckpt.restore_latest({"params": state.params, "batch_stats": state.batch_stats})
+        if restored is None:
+            return state, 0
+        tree, meta = restored
+        state = state.replace(params=tree["params"], batch_stats=tree["batch_stats"])
+        opt = ckpt.restore_opt({"opt_state": state.opt_state, "step": state.step})
+        if opt is not None:
+            state = state.replace(opt_state=opt["opt_state"], step=opt["step"])
+        return state, int(meta.get("epoch", -1)) + 1
 
     # --- diffusion family -------------------------------------------------
     def fit_diffusion(self, stage_name: Optional[str] = None, epochs: Optional[int] = None,
@@ -351,14 +366,24 @@ class Trainer:
                 state = state.replace(batch_stats=new_bs)
             return state, ld
 
+        sample_steps = t.diffusion_sample_steps
+
         @jax.jit
         def eval_step(params, batch_stats, batch):
+            from ..models.diffusion import ddim_sample
+
             vs = {"params": params}
             if batch_stats:
                 vs["batch_stats"] = batch_stats
-            ld = model.apply(vs, resize_target(batch["ct_volume"], resolution),
-                             batch["drr_stacked"], stage, jax.random.PRNGKey(0), train=False)
-            return {"loss": ld["loss"], "psnr": jnp.zeros(()), "ssim": jnp.zeros(())}
+            target = resize_target(batch["ct_volume"], resolution)
+            ld = model.apply(vs, target, batch["drr_stacked"], stage,
+                             jax.random.PRNGKey(0), train=False)
+            # real reconstruction metrics via the DDIM sampler (the reference
+            # has no sampler — its diffusion quality was unmeasurable)
+            recon = ddim_sample(model, vs, batch["drr_stacked"], stage,
+                                jax.random.PRNGKey(1), resolution, num_steps=sample_steps)
+            return {"loss": ld["loss"], "psnr": psnr(recon, target),
+                    "ssim": ssim_metric(recon, target)}
 
         def renamed_step(state, batch, rng):
             state, ld = train_step(state, batch, rng)
@@ -370,6 +395,12 @@ class Trainer:
     # --- cascade stagewise -----------------------------------------------
     def fit_cascade(self, stages=("stage1", "stage2", "stage3"), resume: bool = True,
                     progress: bool = True) -> Dict[str, float]:
+        """Stagewise cascade training with cross-run resume: each stage has
+        its own checkpoint dir (save_dir/stageN); on resume, completed stages
+        are skipped (their params restored from disk — the reference's
+        filtered stage{N-1}_best load, train_progressive_1gpu.py:205-235) and
+        an in-progress stage continues at its saved epoch with its optimizer
+        state."""
         t = self.cfg.training
         variables = self.init_variables(max_stage=3)
         loss_obj = MultiScaleLoss({
@@ -382,12 +413,32 @@ class Trainer:
             n = int(stage_name[-1])
             sc = t.stages[stage_name]
             steps_per_epoch = max(1, len(self.train_ds) // sc.batch_size)
-            frozen = [f"stage{i}" for i in range(1, n)]
-            trainable = [k for k in params.keys() if k not in frozen]
+            # Trainable = exactly the subtrees exercised at max_stage=n: this
+            # stage plus (for the refiners) the shared cascade-level encoder.
+            # Earlier stages are frozen (ref freeze_stage) and FUTURE stages
+            # too — torch AdamW skips no-grad params, so the reference leaves
+            # untouched stages bitwise intact; labeling them trainable here
+            # would weight-decay them through exactly-zero grads.
+            trainable = [stage_name] + (["xray_encoder"] if n >= 2 else [])
             tx = make_optimizer(sc.learning_rate, steps_per_epoch * sc.num_epochs, t.weight_decay,
                                 t.gradient_clip, trainable_prefixes=trainable, params=params)
             stage_mesh = self._mesh_for_batch(sc.batch_size)
             state = self._make_state({"params": params, "batch_stats": batch_stats}, tx, stage_mesh)
+
+            start_epoch = 0
+            stage_ckpt = CheckpointManager(
+                f"{self.cfg.checkpoints.save_dir}/{stage_name}", self.cfg.checkpoints.save_every
+            )
+            if resume:
+                state, start_epoch = self._restore_state(stage_ckpt, state)
+                if start_epoch >= sc.num_epochs:  # stage already complete
+                    params, batch_stats = state.params, state.batch_stats
+                    meta = getattr(stage_ckpt, "_best", {})
+                    last = {"loss": meta.get("loss", 0.0), "psnr": meta.get("psnr", 0.0),
+                            "ssim": meta.get("ssim", 0.0)}
+                    if progress:
+                        print(f"[{stage_name}] complete at epoch {start_epoch - 1}; skipping")
+                    continue
 
             resolution = tuple(sc.target_resolution)
 
@@ -399,12 +450,10 @@ class Trainer:
             mkw = {"max_stage": n}
             train_step = make_train_step(self.model, loss_fn, mkw)
             eval_step = make_eval_step(self.model, lambda b, _res=resolution: resize_target(b["ct_volume"], _res), mkw)
-            self.ckpt_stage = CheckpointManager(
-                f"{self.cfg.checkpoints.save_dir}/{stage_name}", self.cfg.checkpoints.save_every
-            )
+            self.ckpt_stage = stage_ckpt
             last = self._run_epochs(
-                state, train_step, eval_step, sc.batch_size, 0, sc.num_epochs, sc.learning_rate,
-                progress, phase=stage_name, ckpt=self.ckpt_stage, mesh=stage_mesh,
+                state, train_step, eval_step, sc.batch_size, start_epoch, sc.num_epochs,
+                sc.learning_rate, progress, phase=stage_name, ckpt=self.ckpt_stage, mesh=stage_mesh,
             )
             # carry learned params to the next stage (ref: filtered prev-stage load)
             params = self._last_state.params
@@ -427,6 +476,13 @@ class Trainer:
         rng = jax.random.PRNGKey(self.cfg.training.seed + 1)
         metrics: Dict[str, float] = {}
         profile_dir = self.cfg.training.profile_dir
+        # Enter the mesh context for the whole epoch loop so in-model
+        # sharding constraints (token / D-axis sharding over a 'model' axis)
+        # see the mesh when the steps trace.
+        from contextlib import ExitStack
+
+        _mesh_ctx = ExitStack()
+        _mesh_ctx.enter_context(mesh)
         for epoch in range(start_epoch, epochs):
             if profile_dir and epoch == start_epoch:
                 jax.profiler.start_trace(profile_dir)
@@ -443,15 +499,21 @@ class Trainer:
                 jax.profiler.stop_trace()
             train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
             vals = []
+            n_data = mesh.shape["data"]
             for batch in val_loader:
-                batch = _arrays_only(shard_batch(batch, esh))
+                # shard eval over the data axis too when the batch divides it
+                # (otherwise every chip would redundantly compute the full
+                # eval batch); odd-sized tail batches fall back to replication
+                bsh = dsh if batch["drr_stacked"].shape[0] % n_data == 0 else esh
+                batch = _arrays_only(shard_batch(batch, bsh))
                 vals.append(eval_step(state.params, state.batch_stats, batch))
             val = {k: float(jnp.mean(jnp.stack([v[k] for v in vals]))) for k in vals[0]} if vals else {}
             dt = time.time() - t0
             metrics = {"loss": val.get("loss", train_loss), "psnr": val.get("psnr", 0.0),
                        "ssim": val.get("ssim", 0.0)}
             ckpt.save({"params": state.params, "batch_stats": state.batch_stats}, epoch, metrics,
-                      config=self.cfg.to_dict())
+                      config=self.cfg.to_dict(),
+                      opt={"opt_state": state.opt_state, "step": state.step})
             self.csv.log(epoch=epoch, phase=phase, loss=f"{train_loss:.6f}",
                          psnr=f"{metrics['psnr']:.3f}", ssim=f"{metrics['ssim']:.4f}",
                          lr=lr, time=f"{dt:.1f}")
@@ -464,5 +526,6 @@ class Trainer:
             if progress:
                 print(f"[{phase}] epoch {epoch}: loss={train_loss:.4f} "
                       f"val_psnr={metrics['psnr']:.2f} dB val_ssim={metrics['ssim']:.4f} ({dt:.1f}s)")
+        _mesh_ctx.close()
         self._last_state = state
         return metrics

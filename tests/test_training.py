@@ -64,6 +64,36 @@ class TestCheckpointing:
         assert (tmp_path / "epoch_0003").exists()
         assert not (tmp_path / "epoch_0000").exists()
 
+    def test_opt_state_roundtrip(self, tmp_path):
+        """Optimizer state + step are checkpointed alongside the model tree
+        and restored exactly (ref: resume_direct128.py:87-88 restores
+        optimizer_state_dict)."""
+        mgr = CheckpointManager(str(tmp_path), save_every=0)
+        params = {"stage1": {"w": jnp.ones(3)}}
+        tx = make_optimizer(1e-3, 100)
+        opt_state = tx.init(params)
+        # advance the optimizer so the restored state is distinguishable
+        for _ in range(3):
+            updates, opt_state = tx.update({"stage1": {"w": jnp.ones(3)}}, opt_state, params)
+        mgr.save({"params": params, "batch_stats": {}}, 0, {"loss": 1.0},
+                 opt={"opt_state": opt_state, "step": jnp.asarray(3, jnp.int32)})
+        template = {"opt_state": tx.init(params), "step": jnp.zeros((), jnp.int32)}
+        restored = mgr.restore_opt(template)
+        assert restored is not None
+        assert int(restored["step"]) == 3
+        got_mu = jax.tree.leaves(restored["opt_state"])
+        want_mu = jax.tree.leaves(opt_state)
+        for g, w in zip(got_mu, want_mu):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w))
+
+    def test_restore_opt_absent_or_mismatched(self, tmp_path):
+        """Legacy checkpoints without latest_opt (or with a different
+        optimizer structure) resume with fresh optimizer state, not a crash."""
+        mgr = CheckpointManager(str(tmp_path), save_every=0)
+        params = {"w": jnp.ones(2)}
+        mgr.save({"params": params, "batch_stats": {}}, 0, {"loss": 1.0})  # no opt
+        assert mgr.restore_opt({"opt_state": (), "step": jnp.zeros(())}) is None
+
     def test_filtered_restore(self):
         params = self._tree()["params"]
         loaded = {"stage1": {"w": jnp.zeros(3)}, "stage2": {"b": jnp.zeros(2)}}
@@ -146,6 +176,64 @@ class TestCascadeTrainer:
             assert (tmp_path / "ckpt" / stage / "latest").exists(), stage
 
 
+class TestCascadeResume:
+    def _cfg(self, tmp_path, stage2_epochs):
+        from hybrid_vit_cascade_tpu.config import Config, StageConfig
+
+        cfg = Config()
+        cfg.model.family = "cascade"
+        cfg.model.voxel_dim = 32
+        cfg.model.xray_feature_dim = 32
+        cfg.model.stage_depths = (1, 1, 1)
+        cfg.model.stage_heads = (4, 4, 4)
+        cfg.model.stage_sizes = (8, 16, 32)
+        cfg.data.synthetic = True
+        cfg.data.synthetic_patients = 2
+        cfg.data.xray_size = 64
+        cfg.data.train_split = 1.0
+        cfg.data.val_split = 0.0
+        cfg.training.stages = {
+            "stage1": StageConfig(2, 2, 1e-3, (8, 8, 8)),
+            "stage2": StageConfig(stage2_epochs, 2, 1e-3, (16, 16, 16)),
+            "stage3": StageConfig(1, 2, 1e-3, (32, 32, 32)),  # config-complete, never trained here
+        }
+        cfg.checkpoints.save_dir = str(tmp_path / "ckpt")
+        cfg.checkpoints.save_every = 0
+        return cfg
+
+    def test_resume_skips_completed_and_continues_in_progress(self, tmp_path):
+        """Kill/restart semantics (ref train_progressive_1gpu.py:205-235):
+        a finished stage is restored from disk and skipped; an interrupted
+        stage resumes at its saved epoch with its optimizer step intact."""
+        import csv
+        import json
+        import pathlib
+
+        from hybrid_vit_cascade_tpu.training import Trainer
+
+        stages = ("stage1", "stage2")
+        # run 1: stage1 (2 epochs) + stage2 interrupted after 1 of 3 epochs,
+        # simulated by configuring stage2 for a single epoch
+        Trainer(self._cfg(tmp_path, stage2_epochs=1)).fit_cascade(stages=stages, progress=False)
+        ckpt = tmp_path / "ckpt"
+        assert json.loads((ckpt / "stage2" / "latest" / "meta.json").read_text())["epoch"] == 0
+
+        # run 2: full schedule (stage2: 3 epochs) → stage1 skipped, stage2
+        # resumes at epoch 1
+        Trainer(self._cfg(tmp_path, stage2_epochs=3)).fit_cascade(stages=stages, progress=False)
+        assert json.loads((ckpt / "stage2" / "latest" / "meta.json").read_text())["epoch"] == 2
+        assert json.loads((ckpt / "stage1" / "latest" / "meta.json").read_text())["epoch"] == 1
+
+        rows = list(csv.DictReader(pathlib.Path(ckpt, "training_log.csv").open()))
+        stage1_epochs = [r for r in rows if r["phase"] == "stage1"]
+        stage2_epochs = [r for r in rows if r["phase"] == "stage2"]
+        assert len(stage1_epochs) == 2, "stage1 must not retrain on resume"
+        assert [r["epoch"] for r in stage2_epochs] == ["0", "1", "2"]
+
+        # optimizer state is persisted alongside the stage checkpoint
+        assert (ckpt / "stage2" / "latest_opt").exists()
+
+
 class TestDiffusionTrainer:
     def test_diffusion_one_epoch(self, tmp_path):
         from hybrid_vit_cascade_tpu.training import Trainer
@@ -164,10 +252,14 @@ class TestDiffusionTrainer:
         cfg.data.val_split = 0.0
         cfg.training.num_epochs = 1
         cfg.training.batch_size = 2
+        cfg.training.diffusion_sample_steps = 4  # keep the CPU eval fast
         cfg.checkpoints.save_dir = str(tmp_path / "ckpt")
         cfg.checkpoints.save_every = 0
         metrics = Trainer(cfg).fit(progress=False)
         assert np.isfinite(metrics["loss"])
+        # eval now runs the DDIM sampler → real (finite, nonzero) metrics
+        assert np.isfinite(metrics["psnr"]) and metrics["psnr"] != 0.0
+        assert 0.0 <= metrics["ssim"] <= 1.0 and metrics["ssim"] != 0.0
 
 
 class TestSharding:
@@ -179,3 +271,24 @@ class TestSharding:
 
         assert jax.device_count() >= 8
         g.dryrun_multichip(8)
+
+    def test_model_axis_matches_dp(self):
+        """Sequence-sharding voxel tokens over the 'model' axis is a pure
+        re-partition: the hybrid (data=4, model=2) step must numerically
+        match the DP-only (data=4) step on the same global batch."""
+        import sys, pathlib
+
+        sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+        import __graft_entry__ as g
+        from hybrid_vit_cascade_tpu.parallel import make_mesh
+
+        assert jax.device_count() >= 8
+        mesh_dp = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+        mesh_hy = make_mesh(data=4, model=2, devices=jax.devices()[:8])
+        loss_dp, params_dp = g.run_cascade_step(mesh_dp, global_batch=8)
+        loss_hy, params_hy = g.run_cascade_step(mesh_hy, global_batch=8)
+        np.testing.assert_allclose(loss_hy, loss_dp, rtol=1e-5, atol=1e-6)
+        # Adam's grad/(sqrt(v)+eps) amplifies reduction-order noise on
+        # near-zero grads — allow a few e-5 of absolute slack on the params
+        for got, want in zip(jax.tree.leaves(params_hy), jax.tree.leaves(params_dp)):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-3, atol=5e-5)
