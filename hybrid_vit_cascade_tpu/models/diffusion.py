@@ -170,13 +170,26 @@ class UnifiedHybridViTCascade(nn.Module):
         rng: jax.Array,
         prev_stage_volume: Optional[jnp.ndarray] = None,
         train: bool = False,
+        mode: str = "loss",
+        t_override: Optional[jnp.ndarray] = None,
     ) -> Dict[str, jnp.ndarray]:
+        """mode='loss' (default): x_start + rng → sampled-t training losses.
+        mode='denoise': x_start is x_noisy and t_override the (B,) timesteps;
+        returns the raw v/ε prediction — the per-step call of ddim_sample
+        (the reference ships no sampler at all; this exceeds parity so the
+        family's reconstruction quality is measurable)."""
         B = x_start.shape[0]
         sched = self.schedule
-        t_rng, noise_rng = jax.random.split(rng)
-        t = jax.random.randint(t_rng, (B,), 0, self.num_timesteps)
-        noise = jax.random.normal(noise_rng, x_start.shape, jnp.float32)
-        x_noisy = sched.q_sample(x_start.astype(jnp.float32), t, noise)
+        if mode == "denoise":
+            assert t_override is not None
+            t = t_override
+            noise = jnp.zeros_like(x_start, dtype=jnp.float32)
+            x_noisy = x_start.astype(jnp.float32)
+        else:
+            t_rng, noise_rng = jax.random.split(rng)
+            t = jax.random.randint(t_rng, (B,), 0, self.num_timesteps)
+            noise = jax.random.normal(noise_rng, x_start.shape, jnp.float32)
+            x_noisy = sched.q_sample(x_start.astype(jnp.float32), t, noise)
 
         # time embedding MLP over normalized t (unified_model.py:162-166,291)
         tn = (t.astype(jnp.float32) / self.num_timesteps)[:, None]
@@ -226,6 +239,8 @@ class UnifiedHybridViTCascade(nn.Module):
             train=train,
         )
         predicted = jnp.moveaxis(predicted, -1, 1).astype(jnp.float32)  # (B, 1, D, H, W)
+        if mode == "denoise":
+            return predicted
 
         if self.v_parameterization:
             target = sched.v_target(x_start.astype(jnp.float32), noise, t)
@@ -252,3 +267,53 @@ class UnifiedHybridViTCascade(nn.Module):
         physics_weight = cfg.get("physics_weight", 0.3)
         total = diffusion_loss + physics_weight * physics_loss
         return {"loss": total, "diffusion_loss": diffusion_loss, "physics_loss": physics_loss}
+
+
+def ddim_sample(
+    model: UnifiedHybridViTCascade,
+    variables,
+    xrays: jnp.ndarray,
+    stage_name: str,
+    rng: jax.Array,
+    volume_size: Tuple[int, int, int],
+    num_steps: int = 20,
+    prev_stage_volume: Optional[jnp.ndarray] = None,
+    clip_x0: float = 1.5,
+) -> jnp.ndarray:
+    """Deterministic DDIM (η=0) sampler for the v-parameterized cascade.
+
+    The reference has NO sampler (unified_model.py trains losses only, its
+    diffusion family is unreachable from any script) — this makes the
+    family's reconstructions measurable. Identities for v-param:
+        x0 = √ᾱ·x_t − √(1−ᾱ)·v      ε = √(1−ᾱ)·x_t + √ᾱ·v
+        x_{t'} = √ᾱ'·x0 + √(1−ᾱ')·ε
+    jit/scan-friendly: static step count, gather-indexed schedule tables.
+    """
+    B = xrays.shape[0]
+    sched = model.schedule
+    sa, so = sched.tables()
+    ts = jnp.linspace(model.num_timesteps - 1, 0, num_steps).round().astype(jnp.int32)
+
+    x = jax.random.normal(rng, (B, 1, *volume_size), jnp.float32)
+
+    def shape(c):
+        return c.reshape((-1,) + (1,) * 4)
+
+    def step(x, i):
+        t = jnp.full((B,), ts[i], jnp.int32)
+        v = model.apply(
+            variables, x, xrays, stage_name, jax.random.PRNGKey(0),
+            prev_stage_volume=prev_stage_volume, train=False,
+            mode="denoise", t_override=t,
+        )
+        x0 = jnp.clip(sched.pred_x_start_from_v(x, v, t), -clip_x0, clip_x0)
+        eps = shape(so[t]) * x + shape(sa[t]) * v
+        t_next = jnp.where(i + 1 < num_steps, ts[jnp.minimum(i + 1, num_steps - 1)], 0)
+        tn = jnp.full((B,), t_next, jnp.int32)
+        x_next = shape(sa[tn]) * x0 + shape(so[tn]) * eps
+        # at the final step return the clean estimate
+        x_next = jnp.where(i + 1 < num_steps, x_next, x0)
+        return x_next, None
+
+    x, _ = jax.lax.scan(step, x, jnp.arange(num_steps))
+    return x
