@@ -1,13 +1,17 @@
-"""Benchmark: 256³ progressive-cascade inference throughput per chip.
+"""Benchmark: 256³ progressive-cascade inference throughput per chip, plus
+training steps/sec for the stage-2 (128³) and stage-3 (256³) cascade stages.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "extra"}.
 
 vs_baseline: the reference never measured inference throughput; its only
 recorded hardware throughput is 256³ *training* on a B200 at ~15-20 min per
 ~80-patient epoch (VETTING_256_SCRATCH.md:185-205) ≈ 0.076 samples/s. We use
 that as the denominator until a better baseline exists — i.e. vs_baseline is
 "our 256³ cascade inference volumes/s/chip over the reference's recorded
-256³ samples/s on its best GPU".
+256³ samples/s on its best GPU". `extra` carries the training-throughput
+north-star metrics (BASELINE.md) on the same chip: steps/sec for a batch-2
+128³ stage-2 step and a batch-1 256³ stage-3 step (full MultiScaleLoss,
+donated buffers, slab-streamed stage-3 conv branches).
 """
 
 import json
@@ -16,7 +20,15 @@ import time
 REFERENCE_SAMPLES_PER_SEC = 80.0 / (17.5 * 60.0)  # ≈ 0.076 (B200, training)
 
 
-def main():
+def _sync(x):
+    """Device→host readback fence. NOTE: on the experimental axon platform
+    block_until_ready can return early; only a real readback reliably fences."""
+    import jax.numpy as jnp
+
+    return float(jnp.asarray(x).astype(jnp.float32).mean())
+
+
+def bench_inference(n_iters: int = 5) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -29,26 +41,89 @@ def main():
     variables = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), variables)
 
     fn = jax.jit(lambda v, x: model.apply(v, x, max_stage=3, train=False))
-
-    def run_synced():
-        out = fn(variables, xrays)
-        # NOTE: on the experimental axon platform block_until_ready returns
-        # early; only a real device→host readback reliably fences the stream.
-        return float(out.astype(jnp.float32).mean())
-
-    run_synced()  # compile + warm-up
-    n_iters = 5
+    _sync(fn(variables, xrays))  # compile + warm-up
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        run_synced()
+        _sync(fn(variables, xrays))
     dt = (time.perf_counter() - t0) / n_iters
-    vols_per_sec = xrays.shape[0] / dt
+    return xrays.shape[0] / dt
+
+
+def bench_train_stage(stage: int, batch: int, n_iters: int = 3) -> float:
+    """Steps/sec for one cascade training stage (full loss, frozen-mask
+    optimizer, donated buffers — the real train step, not a fwd/bwd toy)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hybrid_vit_cascade_tpu.losses import MultiScaleLoss
+    from hybrid_vit_cascade_tpu.models import ProgressiveCascadeModel
+    from hybrid_vit_cascade_tpu.ops.resize import resize_trilinear
+    from hybrid_vit_cascade_tpu.training import make_optimizer, make_train_step
+    from hybrid_vit_cascade_tpu.training.trainer import TrainState
+
+    res = {2: 128, 3: 256}[stage]
+    model = ProgressiveCascadeModel(dtype=jnp.bfloat16, attn_impl="auto",
+                                    stage3_slab_scan=(stage == 3))
+    xrays = jnp.zeros((batch, 2, 1, 512, 512), jnp.bfloat16)
+    variables = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), xrays, max_stage=stage))
+    variables = jax.tree.map(lambda s: (jnp.zeros(s.shape, s.dtype)
+                                        if s.size > 1 else jnp.ones(s.shape, s.dtype)), variables)
+
+    loss_obj = MultiScaleLoss()
+
+    def loss_fn(pred, b):
+        target = resize_trilinear(b["ct_volume"], (res, res, res), align_corners=False)
+        xr = b["drr_stacked"] if stage == 3 else None
+        return loss_obj(pred, target, stage=stage, input_xrays=xr)
+
+    trainable = [f"stage{stage}", "xray_encoder"]
+    tx = make_optimizer(1e-4, 1000, trainable_prefixes=trainable, params=variables["params"])
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=variables["params"],
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_state=tx.init(variables["params"]), tx=tx)
+    batch_data = {
+        "drr_stacked": jnp.zeros((batch, 2, 1, 512, 512), jnp.float32),
+        "ct_volume": jnp.zeros((batch, 1, 256, 256, 256), jnp.float32),
+    }
+    step = make_train_step(model, loss_fn, {"max_stage": stage})
+    rng = jax.random.PRNGKey(0)
+    state, m = step(state, batch_data, rng)  # compile + warm-up
+    _sync(m["total_loss"])
+    # NOTE: the second call of a donated step recompiles once on axon; absorb it
+    state, m = step(state, batch_data, rng)
+    _sync(m["total_loss"])
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, m = step(state, batch_data, rng)
+        _sync(m["total_loss"])
+    dt = (time.perf_counter() - t0) / n_iters
+    return 1.0 / dt
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-train", action="store_true",
+                    help="inference metric only (fast driver runs)")
+    args = ap.parse_args()
+
+    vols_per_sec = bench_inference()
+    extra = {}
+    if not args.skip_train:
+        for stage, batch, key in [(2, 2, "train_stage2_128_b2_steps_per_sec"),
+                                  (3, 1, "train_stage3_256_b1_steps_per_sec")]:
+            try:
+                extra[key] = round(bench_train_stage(stage, batch), 4)
+            except Exception as e:  # keep the headline metric robust
+                extra[key] = f"error: {type(e).__name__}"
 
     print(json.dumps({
         "metric": "cascade256_inference_volumes_per_sec_per_chip",
         "value": round(vols_per_sec, 4),
         "unit": "vol/s/chip",
         "vs_baseline": round(vols_per_sec / REFERENCE_SAMPLES_PER_SEC, 2),
+        "extra": extra,
     }))
 
 

@@ -62,6 +62,19 @@ def cmd_infer(args):
 
     engine = InferenceEngine(args.checkpoint)
     cfg = engine.cfg
+    if args.pa_xray or args.lat_xray:
+        # raw X-ray pair straight from image files, no dataset folder
+        # (ref inference_visualization.py:196-248)
+        if not (args.pa_xray and args.lat_xray):
+            raise SystemExit("--pa-xray and --lat-xray must be given together")
+        from .inference.infer import load_xray_pair
+
+        xr = load_xray_pair(args.pa_xray, args.lat_xray, size=cfg.data.xray_size)
+        upscale = tuple(int(x) for x in args.upscale.split(",")) if args.upscale else None
+        paths = engine.export(xr, args.output, prefix="raw_pair", upscale=upscale,
+                              denormalize=args.denormalize)
+        print(json.dumps({"exports": paths}, indent=2))
+        return
     if args.synthetic or cfg.data.synthetic:
         ds = SyntheticCTDataset(num_patients=max(1, args.index + 1),
                                volume_size=tuple(cfg.model.volume_size), xray_size=cfg.data.xray_size)
@@ -161,6 +174,8 @@ def main(argv=None):
     i.add_argument("--synthetic", action="store_true")
     i.add_argument("--upscale", default=None, help="D,H,W")
     i.add_argument("--denormalize", action="store_true", help="export in HU")
+    i.add_argument("--pa-xray", default=None, help="raw AP X-ray image file (with --lat-xray)")
+    i.add_argument("--lat-xray", default=None, help="raw lateral X-ray image file")
     i.set_defaults(fn=cmd_infer)
 
     e = sub.add_parser("eval", help="full-dataset metrics")

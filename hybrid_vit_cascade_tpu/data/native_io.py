@@ -14,18 +14,46 @@ from typing import Optional, Tuple
 
 import numpy as np
 
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
 _LIB_PATHS = [
-    Path(__file__).resolve().parent.parent.parent / "native" / "libnifti_io.so",
+    _NATIVE_DIR / "libnifti_io.so",
     Path(__file__).resolve().parent / "libnifti_io.so",
 ]
 
 _lib = None
+_build_attempted = False
+
+
+def _try_build() -> None:
+    """Build the library from source once per process (the .so is not
+    versioned — it must come from `make -C native`). Failure is fine: every
+    caller falls back to the numpy path."""
+    global _build_attempted
+    if _build_attempted:
+        return
+    _build_attempted = True
+    import os
+    import subprocess
+
+    if os.environ.get("HVCT_BUILD_NATIVE", "1") == "0":
+        return
+    if not (_NATIVE_DIR / "Makefile").exists():
+        return
+    try:
+        subprocess.run(
+            ["make", "-C", str(_NATIVE_DIR)],
+            capture_output=True, timeout=120, check=False,
+        )
+    except Exception:
+        pass
 
 
 def _load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
+    if not any(p.exists() for p in _LIB_PATHS):
+        _try_build()
     for p in _LIB_PATHS:
         if p.exists():
             try:

@@ -60,7 +60,12 @@ class DataLoader:
             if self.shuffle
             else np.arange(n)
         )
-        # per-host shard (multi-host: each process reads its slice only)
+        # Per-host shard (multi-host: each process reads its slice only).
+        # Truncate to a multiple of process_count first so every process
+        # yields the SAME number of batches per epoch — unequal counts would
+        # desynchronize the jitted collectives and hang multi-host training.
+        if self.process_count > 1:
+            idx = idx[: len(idx) - len(idx) % self.process_count]
         return idx[self.process_index :: self.process_count]
 
     def __len__(self) -> int:

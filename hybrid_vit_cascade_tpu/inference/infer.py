@@ -33,6 +33,28 @@ def denormalize_ct(volume: np.ndarray, normalization: str = "soft_tissue") -> np
     raise ValueError(normalization)
 
 
+def load_xray_pair(pa_path: str, lat_path: str, size: int = 512,
+                   normalize_range: Tuple[float, float] = (0.0, 1.0)) -> np.ndarray:
+    """Load a raw AP/lateral X-ray image pair straight from files — no
+    dataset folder needed (inference_visualization.py:196-248's
+    --pa_xray/--lat_xray surface). Returns (1, 2, 1, size, size) fp32 in
+    normalize_range."""
+    from PIL import Image
+
+    from ..data.dataset import _np_resize_bilinear
+
+    views = []
+    for p in (pa_path, lat_path):
+        img = np.asarray(Image.open(p).convert("L"), dtype=np.float32)
+        if img.shape != (size, size):
+            img = _np_resize_bilinear(img, (size, size))
+        if img.max() > 1.0:
+            img = img / 255.0
+        lo, hi = normalize_range
+        views.append(img * (hi - lo) + lo)
+    return np.stack(views)[None, :, None].astype(np.float32)  # (1, 2, 1, S, S)
+
+
 def export_nifti(volume: np.ndarray, path: str, spacing: Tuple[float, float, float] = (1.0, 1.0, 1.0)) -> None:
     """Save (D, H, W) as .nii.gz with a diagonal affine (pure-Python NIfTI-1
     writer — nibabel is not required)."""

@@ -113,3 +113,24 @@ class TestInferenceEngine:
 
         report = inspect_checkpoint(str(Path(trained_ckpt.checkpoints.save_dir) / "latest"))
         assert report["meta"].get("epoch") == 0
+
+    def test_raw_xray_pair_cli(self, tmp_path, trained_ckpt, rng):
+        """Raw PNG pair → reconstruction, no dataset folder
+        (inference_visualization.py:196-248's --pa_xray/--lat_xray surface)."""
+        from PIL import Image
+
+        from hybrid_vit_cascade_tpu.cli import main as cli_main
+
+        pa = tmp_path / "pa.png"
+        lat = tmp_path / "lat.png"
+        for p in (pa, lat):
+            Image.fromarray((rng.random((80, 80)) * 255).astype(np.uint8)).save(p)
+
+        cli_main([
+            "infer", "--checkpoint", str(Path(trained_ckpt.checkpoints.save_dir) / "latest"),
+            "--pa-xray", str(pa), "--lat-xray", str(lat),
+            "--output", str(tmp_path / "out"), "--denormalize",
+        ])
+        vol = np.load(tmp_path / "out" / "raw_pair.npy")
+        assert vol.shape == (16, 16, 16)
+        assert vol.min() >= -1024 - 1 and vol.max() <= 3071 + 1  # HU denormalized
