@@ -11,10 +11,20 @@ innermost dimension, so running max/denominator/accumulator live in VMEM
 scratch across kv steps (canonical TPU flash pattern). fp32 accumulation,
 bf16-friendly inputs, head_dim padded to lane width (128) by the wrapper.
 
-Backward: custom VJP with blockwise recomputation in jnp (double lax.scan over
-q/kv blocks) using the saved logsumexp — O(N·d) memory, all-matmul compute
-that XLA maps straight onto the MXU. (A hand-written backward kernel is a
-later optimization; the forward is the memory-critical half.)
+Backward: custom VJP running two Pallas kernels (dq streaming kv; dk/dv
+streaming q in the same score orientation) with all (block_q, block_kv)
+temporaries VMEM-resident — the earlier jnp blockwise path (kept as the test
+oracle) materialized p/dp/ds through HBM between einsums and was HBM-bound.
+
+Perf model (v5e, 8 heads × 32,768 tokens × d=32): the d=32→128 lane padding
+costs an unavoidable 4× on the MXU (every output scalar needs only 32 MACs
+while the 128×128 systolic array applies 128 contraction rows per column —
+no head-packing layout beats this, block-diagonal packings included). The
+padded-MXU floor is ~22 ms/layer; the kernel is therefore VPU-bound, and the
+round-2 optimizations target VPU ops/score-element: scale pre-folded into q,
+static mask elision on exactly-divisible shapes, and the softmax denominator
+extracted from the PV matmul via a ones-lane in the padded V (the lane-tree
+jnp.sum was one of the most expensive VPU steps).
 """
 
 from __future__ import annotations
@@ -28,10 +38,17 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Swept on v5e at 32,768 tokens / head_dim 32→128: (1024, 1024) runs 1.7×
-# faster than (512, 512) (61 ms vs 103 ms, ~18 logical TFLOP/s).
+# Swept on v5e at 8 heads × 32,768 tokens / d=32 (round 2): fwd
+# (1024, 2048) 54.5 ms > (1024, 1024) 56.4 > (512, 2048) 56.0 > (512, 1024)
+# 61.7; (2048, ·) exceeds the 16 MB scoped-VMEM limit. For reference, jax's
+# production pallas kernel (jax.experimental.pallas.ops.tpu.flash_attention)
+# measures 60.6 ms at the same shape/blocks — this kernel is ~10% faster.
 DEFAULT_BLOCK_Q = 1024
-DEFAULT_BLOCK_KV = 1024
+DEFAULT_BLOCK_KV = 2048
+# The backward kernels keep three (block_q, block_kv) fp32 temporaries live;
+# (1024, 1024) is the largest VMEM-feasible backward tile.
+BWD_BLOCK_Q = 1024
+BWD_BLOCK_KV = 1024
 LANE = 128
 NEG_INF = -1e30
 
@@ -40,57 +57,73 @@ def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *, scale, kv_len, block_kv):
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr, *, kv_len, block_kv,
+                mask_kv, sum_lane):
+    """VPU-lean online-softmax step. Three round-2 optimizations (the kernel
+    is VPU-bound: ~7 VPU ops/score element vs 2.7 µs of MXU work per step):
+
+    - `scale` is folded into q by the wrapper (saves a full-block multiply);
+    - `mask_kv` is a STATIC bool — the hot configs (32,768 voxel tokens,
+      1024-blocks) are exactly divisible, so the per-step iota+where
+      (2 ops/element) compiles away entirely;
+    - the softmax denominator comes out of the PV matmul: lane `sum_lane` of
+      the padded V is 1.0, so pv[:, sum_lane] = Σₖ p — the lane-tree
+      reduction (jnp.sum) rides the MXU's already-padded lanes for free, and
+      the separate l scratch disappears (acc's ones-lane IS l, since both
+      follow the same alpha-correction recurrence).
+    """
     kv_idx = pl.program_id(2)
     n_kv = pl.num_programs(2)
 
     @pl.when(kv_idx == 0)
     def _init():
         m_scr[:] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0]  # (block_q, d)
+    q = q_ref[0]  # (block_q, d), pre-scaled
     k = k_ref[0]  # (block_kv, d)
-    v = v_ref[0]
+    v = v_ref[0]  # (block_kv, d) with ones in lane sum_lane
 
     s = lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (block_q, block_kv)
+    )  # (block_q, block_kv)
 
-    col = kv_idx * block_kv + lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < kv_len, s, NEG_INF)
+    if mask_kv:
+        col = kv_idx * block_kv + lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, NEG_INF)
 
+    # NOTE: a bf16 softmax chain (cast s → bf16 before max/sub/exp) was tried
+    # and measured SLOWER (67.9 vs 56.4 ms at 8×32k×d32) — the VPU does not
+    # pack bf16 2× here and the casts add work. Keep fp32.
     m_prev = m_scr[:, :1]  # (block_q, 1)
-    l_prev = l_scr[:, :1]
     m_cur = jnp.max(s, axis=1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp(m_prev - m_new)
     p = jnp.exp(s - m_new)  # (block_q, block_kv)
-    l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
 
     pv = lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (block_q, d)
+    )  # (block_q, d) — pv[:, sum_lane] = row-sum of p
     acc_scr[:] = acc_scr[:] * alpha + pv
     m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 
     @pl.when(kv_idx == n_kv - 1)
     def _finish():
-        l = l_scr[:, :1]
+        l = acc_scr[:, sum_lane : sum_lane + 1]
         safe_l = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_scr[:] / safe_l).astype(o_ref.dtype)
         lse_ref[0] = (m_scr[:] + jnp.log(safe_l)).astype(lse_ref.dtype)
 
 
-def _flash_fwd_padded(q, k, v, scale, kv_len, block_q, block_kv, interpret):
-    """q (BH, Nq_pad, d), k/v (BH, Nk_pad, d) → (out, lse (BH, Nq_pad, LANE))."""
+def _flash_fwd_padded(q, k, v, kv_len, block_q, block_kv, sum_lane, interpret):
+    """q (BH, Nq_pad, d) pre-scaled, k/v (BH, Nk_pad, d), v's `sum_lane` lane
+    is 1.0 → (out, lse (BH, Nq_pad, LANE))."""
     BH, nq, d = q.shape
     nk = k.shape[1]
     grid = (BH, nq // block_q, nk // block_kv)
 
-    kernel = functools.partial(_fwd_kernel, scale=scale, kv_len=kv_len, block_kv=block_kv)
+    kernel = functools.partial(_fwd_kernel, kv_len=kv_len, block_kv=block_kv,
+                               mask_kv=(nk != kv_len), sum_lane=sum_lane)
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
@@ -109,7 +142,6 @@ def _flash_fwd_padded(q, k, v, scale, kv_len, block_q, block_kv, interpret):
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, LANE), jnp.float32),
-            pltpu.VMEM((block_q, LANE), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -120,8 +152,144 @@ def _flash_fwd_padded(q, k, v, scale, kv_len, block_q, block_kv, interpret):
     return out, lse
 
 
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, stats_ref, dq_ref, dq_scr, *,
+                   kv_len, block_kv, mask_kv):
+    """dq for one q block, streaming kv blocks (innermost grid dim).
+    stats lanes: 0 = lse, 1 = delta (Σ_d do·out per row)."""
+    kv_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = stats_ref[0][:, 0:1]
+    delta = stats_ref[0][:, 1:2]
+
+    s = lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    if mask_kv:
+        col = kv_idx * block_kv + lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, NEG_INF)
+    p = jnp.exp(s - lse)
+    dp = lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)
+    dq_scr[:] = dq_scr[:] + lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(kv_idx == pl.num_programs(2) - 1)
+    def _finish():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, stats_ref, dk_ref, dv_ref,
+                    dk_scr, dv_scr):
+    """dk/dv for one kv block, streaming q blocks (innermost grid dim). Same
+    (bq, bkv) score orientation as the dq kernel, so lse/delta broadcast over
+    lanes without transposes; the contractions over the q (sublane) dim map
+    onto the MXU via dot_general. Padded kv rows need no masking: their
+    garbage dk/dv land in rows the wrapper slices away."""
+    q_idx = pl.program_id(2)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = stats_ref[0][:, 0:1]
+    delta = stats_ref[0][:, 1:2]
+
+    s = lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    p = jnp.exp(s - lse)  # (bq, bkv)
+    pb = p.astype(do.dtype)
+    dv_scr[:] = dv_scr[:] + lax.dot_general(
+        pb, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bkv, d)
+    dp = lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = (p * (dp - delta)).astype(q.dtype)
+    dk_scr[:] = dk_scr[:] + lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bkv, d)
+
+    @pl.when(q_idx == pl.num_programs(2) - 1)
+    def _finish():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _bwd_pallas(qp, kp, vp, outp, lse, gp, kv_len, block_q, block_kv, interpret):
+    """Pallas backward: all (bq, bkv) temporaries stay in VMEM — the jnp
+    blockwise path materializes p/dp/ds through HBM between einsums (~20 MB
+    of traffic per block pair), which made the backward HBM-bound."""
+    BH, nq, d = qp.shape
+    nk = kp.shape[1]
+    delta = jnp.sum(gp.astype(jnp.float32) * outp.astype(jnp.float32), axis=-1)  # (BH, nq)
+    stats = jnp.stack([lse, delta], axis=-1)  # (BH, nq, 2)
+
+    grid_dq = (BH, nq // block_q, nk // block_kv)
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, kv_len=kv_len, block_kv=block_kv,
+                          mask_kv=(nk != kv_len)),
+        grid=grid_dq,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, block_q, 2), lambda b, qi, ki: (b, qi, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH, nq, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, gp, stats)
+
+    grid_dkv = (BH, nk // block_kv, nq // block_q)
+    dk, dv = pl.pallas_call(
+        _bwd_dkv_kernel,
+        grid=grid_dkv,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, ki, qi: (b, qi, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, ki, qi: (b, qi, 0)),
+            pl.BlockSpec((1, block_q, 2), lambda b, ki, qi: (b, qi, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_kv, d), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda b, ki, qi: (b, ki, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, nk, d), jnp.float32),
+            jax.ShapeDtypeStruct((BH, nk, d), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_kv, d), jnp.float32),
+            pltpu.VMEM((block_kv, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, gp, stats)
+    return dq, dk, dv
+
+
 def _bwd_blockwise(q, k, v, out, lse, do, scale, kv_len, block_q, block_kv):
-    """Blockwise-recompute backward in jnp (shapes: (BH, N, d), lse (BH, Nq))."""
+    """Blockwise-recompute backward in jnp (shapes: (BH, N, d), lse (BH, Nq)).
+
+    Superseded by _bwd_pallas on the hot path; kept as the numerical oracle
+    (tests/test_flash_attention.py) — pass scale=1.0 when q is pre-scaled."""
     BH, nq, d = q.shape
     nk = k.shape[1]
     f32 = jnp.float32
@@ -187,20 +355,25 @@ def _is_cpu() -> bool:
 
 
 def _flash_fwd_core(q, k, v, scale, block_q, block_kv):
-    """Pads and runs the forward kernel. q (BH, Nq, d)."""
+    """Pads and runs the forward kernel. q (BH, Nq, d); `scale` is expected
+    to be pre-folded into q by the caller (1.0 here) but is still honored."""
     BH, nq, d = q.shape
     nk = k.shape[1]
-    d_pad = _ceil_to(d, LANE)
+    # d+1: the softmax row-sum needs one spare padding lane in V (free for
+    # the model's d ∈ {32, 64}; lane-aligned d pays one extra 128-group)
+    d_pad = _ceil_to(d + 1, LANE)
     bq = min(block_q, _ceil_to(nq, 8))
     bkv = min(block_kv, _ceil_to(nk, 128))
     nq_pad = _ceil_to(nq, bq)
     nk_pad = _ceil_to(nk, bkv)
 
-    qp = jnp.pad(q, ((0, 0), (0, nq_pad - nq), (0, d_pad - d)))
+    qp = jnp.pad(q if scale == 1.0 else q * jnp.asarray(scale, q.dtype),
+                 ((0, 0), (0, nq_pad - nq), (0, d_pad - d)))
     kp = jnp.pad(k, ((0, 0), (0, nk_pad - nk), (0, d_pad - d)))
     vp = jnp.pad(v, ((0, 0), (0, nk_pad - nk), (0, d_pad - d)))
+    vp = vp.at[:, :, d].set(jnp.asarray(1.0, vp.dtype))  # row-sum lane
 
-    out, lse = _flash_fwd_padded(qp, kp, vp, scale, nk, bq, bkv, interpret=_is_cpu())
+    out, lse = _flash_fwd_padded(qp, kp, vp, nk, bq, bkv, d, interpret=_is_cpu())
     return out[:, :nq, :d], (qp, kp, vp, out, lse[..., 0], bq, bkv, nk)
 
 
@@ -210,11 +383,21 @@ def _flash_core_fwd(q, k, v, scale, block_q, block_kv):
 
 
 def _flash_core_bwd(scale, block_q, block_kv, res, g):
+    # NOTE: the saved qp is PRE-SCALED (fwd folds `scale` into q), so the
+    # in-kernel math is scale-free; dq w.r.t. the original q needs one
+    # final ×scale (a no-op for the public wrapper, which passes 1.0).
     qp, kp, vp, outp, lse, bq, bkv, kv_len = res
     nq = g.shape[1]
     d = g.shape[2]
     gp = jnp.pad(g, ((0, 0), (0, qp.shape[1] - nq), (0, qp.shape[2] - d)))
-    dq, dk, dv = _bwd_blockwise(qp, kp, vp, outp, lse, gp, scale, kv_len, bq, bkv)
+    # clamp to the backward's VMEM-feasible tile; padded lengths stay
+    # divisible because fwd blocks are power-of-two multiples of these
+    bqb = min(bq, BWD_BLOCK_Q)
+    bkvb = min(bkv, BWD_BLOCK_KV)
+    dq, dk, dv = _bwd_pallas(qp, kp, vp, outp, lse, gp, kv_len, bqb, bkvb,
+                             interpret=_is_cpu())
+    if scale != 1.0:
+        dq = dq * scale
     return (
         dq[:, :nq, :d].astype(qp.dtype),
         dk[:, :kv_len, :d].astype(kp.dtype),
@@ -242,8 +425,11 @@ def flash_attention(
         scale = 1.0 / math.sqrt(q.shape[-1])
     B, H, nq, d = q.shape
     nk = k.shape[2]
-    qf = q.reshape(B * H, nq, d)
+    # Fold the scale into q OUTSIDE the custom-VJP core (autodiff then scales
+    # dq through the chain rule) so the kernel never multiplies the score
+    # block — one fewer VPU op per score element in the VPU-bound kernel.
+    qf = (q * jnp.asarray(scale, q.dtype)).reshape(B * H, nq, d)
     kf = k.reshape(B * H, nk, d)
     vf = v.reshape(B * H, nk, d)
-    out = _flash_core(qf, kf, vf, float(scale), block_q, block_kv)
+    out = _flash_core(qf, kf, vf, 1.0, block_q, block_kv)
     return out.reshape(B, H, nq, d)

@@ -52,6 +52,43 @@ class TestFlashAttention:
                 np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4, err_msg=f"d{name}"
             )
 
+    def test_gradients_nondivisible_blocks(self, rng):
+        """kv length that doesn't divide block_kv exercises the backward
+        kernel's masking (dq) and sliced-garbage-row (dk/dv) paths."""
+        q, k, v = _qkv(rng, nq=72, nk=90, d=32)
+        scale = 32 ** -0.5
+
+        g_ref = jax.grad(lambda *a: (_reference_attention(*a, scale) ** 2).sum(), (0, 1, 2))(q, k, v)
+        g_flash = jax.grad(
+            lambda *a: (flash_attention(*a, scale, block_q=32, block_kv=32) ** 2).sum(), (0, 1, 2)
+        )(q, k, v)
+        for a, b, name in zip(g_flash, g_ref, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4, err_msg=f"d{name}"
+            )
+
+    def test_pallas_bwd_matches_jnp_oracle(self, rng):
+        """The Pallas backward vs the retired jnp blockwise backward on
+        identical padded residuals."""
+        from hybrid_vit_cascade_tpu.ops.pallas.flash_attention import (
+            _bwd_blockwise,
+            _bwd_pallas,
+            _flash_fwd_core,
+        )
+
+        q, k, v = _qkv(rng, nq=64, nk=96, d=32)
+        qf, kf, vf = (x.reshape(2, *x.shape[2:]) for x in (q, k, v))
+        out, (qp, kp, vp, outp, lse, bq, bkv, kv_len) = _flash_fwd_core(
+            qf * jnp.asarray(32 ** -0.5), kf, vf, 1.0, 32, 32
+        )
+        do = jnp.asarray(np.random.default_rng(1).standard_normal(outp.shape), jnp.float32)
+        want = _bwd_blockwise(qp, kp, vp, outp, lse, do, 1.0, kv_len, bq, bkv)
+        got = _bwd_pallas(qp, kp, vp, outp, lse, do, kv_len, bq, bkv, interpret=True)
+        for a, b, name in zip(got, want, ("dq", "dk", "dv")):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5, err_msg=name
+            )
+
     def test_bf16_inputs(self, rng):
         q, k, v = _qkv(rng, nq=64, nk=64, d=32)
         out = flash_attention(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16))
