@@ -243,6 +243,8 @@ class Trainer:
         k = math.gcd(batch_size, n)
         if k == n:
             return self.mesh
+        print(f"[trainer] batch {batch_size} % {n} devices != 0 -> using {k} "
+              f"devices, {n - k} idle (raise batch or drop device count to avoid)")
         return make_mesh(data=k, model=1, devices=jax.devices()[:k])
 
     # --- init -------------------------------------------------------------
