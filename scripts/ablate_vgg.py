@@ -44,6 +44,7 @@ def run(vgg_weight: float, args, save_dir: str) -> dict:
     cfg.training.stages = {
         "stage1": StageConfig(args.epochs, 4, 1e-3, (args.res // 2,) * 3),
         "stage2": StageConfig(args.epochs * 2, 2, 5e-4, (args.res,) * 3),
+        "stage3": StageConfig(1, 1, 1e-4, (args.res * 2,) * 3),  # config-complete, not trained
     }
     cfg.loss.stage2 = {"l1": 1.0, "ssim": 0.5, "vgg": vgg_weight, "tv": 0.02, "freq": 0.05}
     cfg.checkpoints.save_dir = save_dir
