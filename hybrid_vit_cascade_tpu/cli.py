@@ -15,6 +15,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+from pathlib import Path
 
 import numpy as np
 
@@ -107,6 +108,28 @@ def cmd_eval(args):
     print(json.dumps(summary, indent=2))
 
 
+def cmd_diagnose(args):
+    """Health-grade one reconstruction via the diagnostic-loss suite with
+    live cross-attention capture (diagnostic_losses.py:534-636 interpretation
+    surface, reachable from any checkpoint)."""
+    from .data import PatientDRRDataset, SyntheticCTDataset
+    from .inference import InferenceEngine
+
+    engine = InferenceEngine(args.checkpoint)
+    cfg = engine.cfg
+    if args.synthetic or cfg.data.synthetic:
+        ds = SyntheticCTDataset(num_patients=max(1, args.index + 1),
+                                volume_size=tuple(cfg.model.volume_size), xray_size=cfg.data.xray_size)
+    else:
+        ds = PatientDRRDataset(args.data_path or cfg.data.dataset_path,
+                               target_xray_size=cfg.data.xray_size)
+    report = engine.diagnose(ds[args.index], max_stage=args.stage)
+    text = json.dumps(report, indent=2)
+    if args.output:
+        Path(args.output).write_text(text)
+    print(text)
+
+
 def cmd_transfer(args):
     """Two-phase 128³→256³ transfer (ref: transfer_128_to_256_b200.py):
     shape-matched weight transfer from a 128³ checkpoint into the 256³ model,
@@ -184,6 +207,15 @@ def main(argv=None):
     e.add_argument("--data-path", default=None)
     e.add_argument("--synthetic", action="store_true")
     e.set_defaults(fn=cmd_eval)
+
+    dg = sub.add_parser("diagnose", help="diagnostic-loss suite + health grades on one sample")
+    dg.add_argument("--checkpoint", required=True)
+    dg.add_argument("--index", type=int, default=0)
+    dg.add_argument("--stage", type=int, default=1, help="cascade max_stage for the graded forward")
+    dg.add_argument("--synthetic", action="store_true")
+    dg.add_argument("--data-path", default=None)
+    dg.add_argument("--output", default=None, help="optional JSON path")
+    dg.set_defaults(fn=cmd_diagnose)
 
     x = sub.add_parser("transfer", help="shape-matched weight transfer (e.g. 128³→256³) then train")
     x.add_argument("--from-checkpoint", required=True, help="source checkpoint dir")

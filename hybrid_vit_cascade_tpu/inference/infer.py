@@ -174,6 +174,32 @@ class InferenceEngine:
             metrics["l1"] = float(mae(vol, t))
         return metrics
 
+    def diagnose(self, item: Dict, max_stage: int = 1) -> Dict:
+        """Diagnostic-loss suite + health grades on one sample with LIVE
+        cross-attention capture (diagnostic_losses.py:172-660 +
+        vit_components.py:63-108's store_attention — in the reference the
+        attention-map diagnostics were unreachable outside its diffusion
+        harness; here any ViT-family checkpoint can be graded)."""
+        from ..losses.diagnostics import DiagnosticLosses, analyze_component_health
+        from ..models import collect_attention_maps
+
+        xr = jnp.asarray(item["drr_stacked"][None], jnp.float32)
+        target = jnp.asarray(item["ct_volume"][None], jnp.float32)
+        model = self.model
+        if hasattr(model, "store_attention"):
+            model = model.clone(store_attention=True)
+        kw = {"max_stage": max_stage} if self.cfg.model.family == "cascade" else {}
+        vol, st = model.apply(self.variables, xr, train=False,
+                              mutable=["intermediates"], **kw)
+        maps = collect_attention_maps(st.get("intermediates", {}))
+        vol = jnp.asarray(vol, jnp.float32)
+        t = resize_target(target, vol.shape[-3:])
+        diag = DiagnosticLosses()
+        losses = diag(vol, t, vol, t, xr, attention_maps=maps or None)
+        flat = {k: float(v) for k, v in losses.items() if jnp.ndim(v) == 0}
+        return {"losses": flat, "health": analyze_component_health(losses),
+                "captured_attention": sorted(maps.keys())}
+
     def export(
         self,
         xrays: np.ndarray,

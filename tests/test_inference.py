@@ -114,6 +114,23 @@ class TestInferenceEngine:
         report = inspect_checkpoint(str(Path(trained_ckpt.checkpoints.save_dir) / "latest"))
         assert report["meta"].get("epoch") == 0
 
+    def test_diagnose_cli(self, tmp_path, trained_ckpt, capsys):
+        """`diagnose` grades a reconstruction via DiagnosticLosses with live
+        cross-attention capture (diagnostic_losses.py:534-636)."""
+        import json as _json
+
+        from hybrid_vit_cascade_tpu.cli import main as cli_main
+
+        cli_main([
+            "diagnose", "--checkpoint", str(Path(trained_ckpt.checkpoints.save_dir) / "latest"),
+            "--synthetic", "--output", str(tmp_path / "diag.json"),
+        ])
+        report = _json.loads((tmp_path / "diag.json").read_text())
+        assert "diffusion" in report["losses"] and "projection_single" in report["losses"]
+        assert report["health"]  # at least one graded component
+        assert report["captured_attention"] == ["cross_attention"]
+        assert all(np.isfinite(v) for v in report["losses"].values())
+
     def test_raw_xray_pair_cli(self, tmp_path, trained_ckpt, rng):
         """Raw PNG pair → reconstruction, no dataset folder
         (inference_visualization.py:196-248's --pa_xray/--lat_xray surface)."""
