@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.layers import gelu_exact, group_norm
-from ..ops.fft import fft_magnitude_3d
+from ..ops.fft import fft_magnitude_3d, half_spectrum_multiplicity, rfft_magnitude_3d
 from ..ops.resize import resize_trilinear
 from .multiscale import l1_loss, ssim_loss, total_variation_loss
 
@@ -35,12 +35,27 @@ def _finite_or_zero(x: jnp.ndarray) -> jnp.ndarray:
 def focal_frequency_loss(pred: jnp.ndarray, target: jnp.ndarray, alpha: float = 1.0) -> jnp.ndarray:
     """FFT-magnitude squared error, focally reweighted by normalized error
     (model_direct128_h200.py:76-107). fp32, clamped to [0, 100]."""
-    pm = fft_magnitude_3d(pred)
-    tm = fft_magnitude_3d(target)
-    freq_distance = (pm - tm) ** 2
-    matrix_norm = jnp.sum(freq_distance, axis=(-3, -2, -1), keepdims=True)
-    focal_weight = jnp.power(freq_distance / (matrix_norm + 1e-8), alpha)
-    loss = jnp.mean(focal_weight * freq_distance)
+    shape = pred.shape[-3:]
+    if all(s % 2 == 0 for s in shape):
+        # rfft half spectrum + multiplicity weights: every term here (the
+        # squared magnitude distance, the per-volume normalizer, the focal
+        # weight) is conjugate-symmetric, so full-cube sums/means reduce
+        # exactly to multiplicity-weighted half-spectrum sums (ops/fft.py).
+        pm = rfft_magnitude_3d(pred)
+        tm = rfft_magnitude_3d(target)
+        mult = half_spectrum_multiplicity(shape)
+        freq_distance = (pm - tm) ** 2
+        matrix_norm = jnp.sum(freq_distance * mult, axis=(-3, -2, -1), keepdims=True)
+        focal_weight = jnp.power(freq_distance / (matrix_norm + 1e-8), alpha)
+        n_full = pred.size
+        loss = jnp.sum(focal_weight * freq_distance * mult) / n_full
+    else:
+        pm = fft_magnitude_3d(pred)
+        tm = fft_magnitude_3d(target)
+        freq_distance = (pm - tm) ** 2
+        matrix_norm = jnp.sum(freq_distance, axis=(-3, -2, -1), keepdims=True)
+        focal_weight = jnp.power(freq_distance / (matrix_norm + 1e-8), alpha)
+        loss = jnp.mean(focal_weight * freq_distance)
     return _finite_or_zero(jnp.clip(loss, 0.0, 100.0))
 
 

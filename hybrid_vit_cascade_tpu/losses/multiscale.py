@@ -23,7 +23,13 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.drr import drr_mean_projection
-from ..ops.fft import fft_magnitude_3d, high_freq_mask
+from ..ops.fft import (
+    fft_magnitude_3d,
+    half_spectrum_multiplicity,
+    high_freq_mask,
+    high_freq_mask_half,
+    rfft_magnitude_3d,
+)
 from ..ops.ssim import ssim3d
 
 
@@ -62,12 +68,29 @@ def total_variation_loss(
 def frequency_loss(pred: jnp.ndarray, target: jnp.ndarray, high_freq_weight: float = 2.0) -> jnp.ndarray:
     """FFT-magnitude L1 with 2× weight on radii > min/4
     (loss_multiscale.py:191-236). Means are over all elements, with the
-    complementary region zeroed — exactly the reference's masked-l1 form."""
-    pm = fft_magnitude_3d(pred)
-    tm = fft_magnitude_3d(target)
-    mask = high_freq_mask(pred.shape[-3:])
-    low = jnp.mean(jnp.abs(pm * (1.0 - mask) - tm * (1.0 - mask)))
-    high = jnp.mean(jnp.abs(pm * mask - tm * mask))
+    complementary region zeroed — exactly the reference's masked-l1 form.
+
+    For even spatial dims this runs on the rfft half spectrum with per-bin
+    multiplicity weights (ops/fft.py) — half the FFT/elementwise work with
+    identical full-cube sums (the masks/magnitudes are conjugate-symmetric).
+    Odd dims (where the reference's index-centered mask is not symmetric)
+    fall back to the full spectrum."""
+    shape = pred.shape[-3:]
+    n_full = pred.size
+    if all(s % 2 == 0 for s in shape):
+        pm = rfft_magnitude_3d(pred)
+        tm = rfft_magnitude_3d(target)
+        mask = high_freq_mask_half(shape)
+        mult = half_spectrum_multiplicity(shape)
+        diff = jnp.abs(pm - tm) * mult
+        low = jnp.sum(diff * (1.0 - mask)) / n_full
+        high = jnp.sum(diff * mask) / n_full
+    else:
+        pm = fft_magnitude_3d(pred)
+        tm = fft_magnitude_3d(target)
+        mask = high_freq_mask(shape)
+        low = jnp.mean(jnp.abs(pm * (1.0 - mask) - tm * (1.0 - mask)))
+        high = jnp.mean(jnp.abs(pm * mask - tm * mask))
     return low + high_freq_weight * high
 
 

@@ -165,10 +165,13 @@ class DetailEnhancer(nn.Module, _ChainParams):
     remat: bool = False
     slab_scan: bool = False
     slab_count: int = 8
+    # 'streamed' (endpoint-storing, round-3 scheme — ~2× less conv work) or
+    # 'recompute' (round-2 zero-storage scheme); identical numerics
+    slab_impl: str = "streamed"
 
     @nn.compact
     def __call__(self, base: jnp.ndarray) -> jnp.ndarray:  # (B, 1, D, H, W)
-        from ..ops.slab import chain_apply_dense, chain_apply_slab
+        from ..ops.slab import chain_apply_dense, chain_apply_slab, chain_apply_streamed
 
         chain = [
             self._conv_op("conv0", 64, 1, 3, 1),
@@ -180,6 +183,8 @@ class DetailEnhancer(nn.Module, _ChainParams):
             self._conv_op("conv_out", 1, 32, 1, 1),
         ]
         if self.slab_scan:
+            if self.slab_impl == "streamed":
+                return chain_apply_streamed(base, chain, self.slab_count, dtype=self.dtype)
             return chain_apply_slab(base, chain, self.slab_count, dtype=self.dtype)
         if self.remat:
             from ..ops.slab import chain_apply_dense_remat
@@ -208,10 +213,11 @@ class Stage3ViTTrunk(nn.Module, _ChainParams):
     inner_remat: bool = True
     slab_scan: bool = False
     slab_count: int = 8
+    slab_impl: str = "streamed"
 
     @nn.compact
     def __call__(self, vol_nc: jnp.ndarray, context: jnp.ndarray, cond: jnp.ndarray, train: bool = False):
-        from ..ops.slab import chain_apply_dense, chain_apply_slab
+        from ..ops.slab import chain_apply_dense, chain_apply_slab, chain_apply_streamed
         from .vit3d import _stem_plan
 
         d, h, w = vol_nc.shape[2:5]
@@ -233,7 +239,10 @@ class Stage3ViTTrunk(nn.Module, _ChainParams):
             chain.append(self._conv_op("proj_conv", self.voxel_dim, in_ch, 3, 1))
 
         if self.slab_scan:
-            feat = chain_apply_slab(x1, chain, self.slab_count, dtype=self.dtype)
+            if self.slab_impl == "streamed":
+                feat = chain_apply_streamed(x1, chain, self.slab_count, dtype=self.dtype)
+            else:
+                feat = chain_apply_slab(x1, chain, self.slab_count, dtype=self.dtype)
         else:
             feat = chain_apply_dense(x1, chain, dtype=self.dtype)
 
@@ -274,6 +283,7 @@ class Stage3Refiner256(nn.Module):
     # region is needed; parameters are identical either way.
     slab_scan: bool = False
     slab_count: int = 8
+    slab_impl: str = "streamed"
 
     @nn.compact
     def __call__(
@@ -301,6 +311,7 @@ class Stage3Refiner256(nn.Module):
             inner_remat=self.remat,
             slab_scan=self.slab_scan,
             slab_count=self.slab_count,
+            slab_impl=self.slab_impl,
             name="vit_trunk",
         )(vol_nc, context, cond, train)
 
@@ -308,7 +319,8 @@ class Stage3Refiner256(nn.Module):
 
         details = DetailEnhancer(
             dtype=self.dtype, remat=self.remat and not self.slab_scan,
-            slab_scan=self.slab_scan, slab_count=self.slab_count, name="detail_enhancer",
+            slab_scan=self.slab_scan, slab_count=self.slab_count,
+            slab_impl=self.slab_impl, name="detail_enhancer",
         )(base_nc)
 
         base = _ndhwc(base_nc)
@@ -346,6 +358,8 @@ class ProgressiveCascadeModel(nn.Module):
     # same parameters either way — flip freely between train and inference
     stage3_slab_scan: bool = False
     slab_count: int = 8
+    # 'streamed' (endpoint-storing, ~2× faster) | 'recompute' (zero-storage)
+    slab_impl: str = "streamed"
     # capture stage-1 cross-attention maps into 'intermediates' (run apply
     # with mutable=['intermediates'], then models.collect_attention_maps)
     store_attention: bool = False
@@ -405,6 +419,7 @@ class ProgressiveCascadeModel(nn.Module):
                 remat=self.use_gradient_checkpointing,
                 slab_scan=self.stage3_slab_scan,
                 slab_count=self.slab_count,
+                slab_impl=self.slab_impl,
                 name="stage3",
             )(vol128, feats3, cond, train=train)
             outputs["stage3"] = _nchw3d(vol256)

@@ -135,14 +135,15 @@ def chain_apply_dense(x: jnp.ndarray, chain: Sequence[Tuple], dtype=None) -> jnp
     return h
 
 
-def _walk_back(chain: Sequence[Tuple], upto: int) -> Tuple[int, int, int]:
+def _walk_back(chain: Sequence[Tuple], upto: int, start: int = 0) -> Tuple[int, int, int]:
     """Affine map from an output D-range [s, e) at op index `upto` (exclusive)
-    back to the required input D-range [F·s + c_lo, F·e + c_hi).
+    back to the required input D-range [F·s + c_lo, F·e + c_hi) at op index
+    `start` (i.e. through chain[start:upto]).
 
     conv k3 s1: [s-1, e+1) ; conv k3 s2: [2s-1, 2e) ; k1 / gn / act: identity.
     """
     F, c_lo, c_hi = 1, 0, 0
-    for op in reversed(chain[:upto]):
+    for op in reversed(chain[start:upto]):
         if op[0] != "conv":
             continue
         k = op[1].shape[-1]
@@ -157,10 +158,11 @@ def _walk_back(chain: Sequence[Tuple], upto: int) -> Tuple[int, int, int]:
     return F, c_lo, c_hi
 
 
-def _level_shape(chain: Sequence[Tuple], upto: int, in_shape) -> Tuple[int, int, int, int]:
-    """(C, D, H, W) of the activation entering op index `upto`."""
+def _level_shape(chain: Sequence[Tuple], upto: int, in_shape, start: int = 0) -> Tuple[int, int, int, int]:
+    """(C, D, H, W) of the activation entering op index `upto`, given the
+    activation entering op index `start` has shape `in_shape` (NCDHW)."""
     C, D, H, W = in_shape[1], in_shape[2], in_shape[3], in_shape[4]
-    for op in chain[:upto]:
+    for op in chain[start:upto]:
         if op[0] == "conv":
             C = op[1].shape[0]
             s = op[3]
@@ -180,16 +182,17 @@ def _mask_outside(h: jnp.ndarray, lo, level_d: int) -> jnp.ndarray:
 
 def _run_prefix(islab: jnp.ndarray, chain: Sequence[Tuple], upto: int,
                 stats: List[Optional[Tuple[jnp.ndarray, jnp.ndarray]]], dtype,
-                lo, level_d: int) -> jnp.ndarray:
-    """Evaluate chain[:upto] on a D-extended slab (convs VALID in D).
+                lo, level_d: int, start: int = 0) -> jnp.ndarray:
+    """Evaluate chain[start:upto] on a D-extended slab (convs VALID in D).
 
     `lo` (traced) is the global D-coordinate of the slab's first element and
     `level_d` the full volume depth at the current level; both walk forward
     through strided convs so out-of-volume positions can be zeroed exactly
-    like the dense path's per-conv zero padding."""
+    like the dense path's per-conv zero padding. `stats` is indexed by GN
+    ordinal within chain[start:upto]."""
     h = islab
     gn_i = 0
-    for op in chain[:upto]:
+    for op in chain[start:upto]:
         if op[0] == "conv":
             _, kernel, bias, stride = op
             k = kernel.shape[-1]
@@ -265,3 +268,116 @@ def chain_apply_slab(x: jnp.ndarray, chain: Sequence[Tuple], num_slabs: int = 8,
     for gi in gn_positions:
         stats.append(run_pass(gi, stats))
     return run_pass(None, stats)
+
+
+def _conv_flops(chain: Sequence[Tuple], start: int, end: int, in_shape) -> float:
+    """MAC-pair FLOPs of the convs in chain[start:end] on a full volume."""
+    total = 0.0
+    D, H, W = in_shape[2], in_shape[3], in_shape[4]
+    for i in range(start, end):
+        op = chain[i]
+        if op[0] == "conv":
+            kernel = op[1]
+            o, cin, k = kernel.shape[0], kernel.shape[1], kernel.shape[-1]
+            s = op[3]
+            D, H, W = D // s, H // s, W // s
+            total += 2.0 * in_shape[0] * o * cin * (k ** 3) * D * H * W
+    return total
+
+
+def chain_apply_streamed(x: jnp.ndarray, chain: Sequence[Tuple], num_slabs: int = 8,
+                         dtype=None, store_min_flops: float = 1e11,
+                         dense_max_voxels: int = 129 ** 3) -> jnp.ndarray:
+    """Streaming chain evaluation v2 — same math as chain_apply_slab, much
+    less recompute (the v1 scheme cost 3.8 s of the 5.49 s stage-3 step,
+    measured round 3):
+
+      * stats+emit fusion: one pass per GroupNorm — each pass streams from
+        the nearest materialized source, emits its endpoint (pre-GN
+        activation) when worth storing, and accumulates that GN's global
+        (sum, sum-of-squares) in the same lax.scan;
+      * endpoint storing: a pass whose segment holds ≥ `store_min_flops` of
+        conv work stores its (bf16, densely-tiled) endpoint so later passes
+        READ it instead of re-running the conv prefix (detail-enhancer
+        conv1: 1.86 TFLOP recomputed twice in v1, once here). Cheap segments
+        (e.g. a 1→64 k3 conv, 58 GFLOP) stay recompute-only so the HBM cost
+        is bounded to ~1–1.6 GB per chain at 256³;
+      * dense tail: once every remaining intermediate fits
+        `dense_max_voxels` (after a stride-2 stem conv drops 256³→128³), the
+        remainder runs dense (group_norm_core) — streaming only ever pays at
+        full resolution.
+
+    Numerics match chain_apply_dense / chain_apply_slab (fp32 GN statistics,
+    identical conv padding semantics); tested for equality in test_slab.py.
+    """
+    dtype = dtype or x.dtype
+    x = x.astype(dtype)
+    B = x.shape[0]
+    n_ops = len(chain)
+    gn_positions = [i for i, op in enumerate(chain) if op[0] == "gn"]
+    boundaries = gn_positions + [n_ops]
+    stats_by_pos = {}
+
+    def remaining_fits_dense(src_idx: int, src_shape) -> bool:
+        levels = [_level_shape(chain, i, src_shape, start=src_idx)
+                  for i in range(src_idx, n_ops + 1)]
+        return all(D * H * W <= dense_max_voxels for (_, D, H, W) in levels)
+
+    def stream_pass(src, src_idx: int, end: int, emit: bool, want_stats: bool):
+        """Run chain[src_idx:end] slab-streamed over `src`. Returns
+        (endpoint | None, (mean, inv) | None)."""
+        seg_stats = [stats_by_pos[p] for p in gn_positions if src_idx <= p < end]
+        C_out, D_out, H_out, W_out = _level_shape(chain, end, src.shape, start=src_idx)
+        n = num_slabs
+        while D_out % n:
+            n //= 2
+        n = max(n, 1)
+        sd = D_out // n
+        F, c_lo, c_hi = _walk_back(chain, end, start=src_idx)
+        ext = F * sd + (c_hi - c_lo)
+        pad_lo, pad_hi = -c_lo, max(0, F * D_out + c_hi - src.shape[2])
+        xp = jnp.pad(src, ((0, 0), (0, 0), (pad_lo, pad_hi), (0, 0), (0, 0)))
+
+        groups = chain[end][1] if want_stats else 1
+
+        @jax.checkpoint
+        def body(carry, j):
+            start = j * (F * sd)
+            islab = lax.dynamic_slice(
+                xp, (0, 0, start, 0, 0), (B, src.shape[1], ext, xp.shape[3], xp.shape[4])
+            )
+            h = _run_prefix(islab, chain, end, seg_stats, dtype, start + c_lo,
+                            src.shape[2], start=src_idx)
+            if want_stats:
+                hr = h.reshape(B, groups, -1)
+                carry = (
+                    carry[0] + jnp.sum(hr.astype(jnp.float32), axis=-1),
+                    carry[1] + jnp.sum(lax.square(hr.astype(jnp.float32)), axis=-1),
+                )
+            return carry, (h if emit else None)
+
+        init = (jnp.zeros((B, groups), jnp.float32),) * 2 if want_stats else 0
+        carry, ys = lax.scan(body, init, jnp.arange(n))
+        out = None
+        if emit:
+            out = jnp.moveaxis(ys, 0, 2).reshape(B, C_out, D_out, H_out, W_out)
+        st = None
+        if want_stats:
+            count = (C_out // groups) * D_out * H_out * W_out
+            st = _stats_from_sums(carry[0], carry[1], float(count))
+        return out, st
+
+    src, src_idx = x, 0
+    for b in boundaries:
+        if remaining_fits_dense(src_idx, src.shape):
+            return chain_apply_dense(src, list(chain[src_idx:]), dtype)
+        is_final = b == n_ops
+        seg_flops = _conv_flops(chain, src_idx, b, src.shape)
+        store = is_final or seg_flops >= store_min_flops
+        out, st = stream_pass(src, src_idx, b, emit=store, want_stats=not is_final)
+        if is_final:
+            return out
+        stats_by_pos[b] = st
+        if store:
+            src, src_idx = out, b
+    raise AssertionError("unreachable")

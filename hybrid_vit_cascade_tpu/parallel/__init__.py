@@ -14,6 +14,7 @@ from .mesh import (
     make_mesh,
     model_axis_size,
     replicated_sharding,
+    gather_model_axis,
     shard_spatial_d,
     shard_tokens,
 )
@@ -25,6 +26,7 @@ __all__ = [
     "make_mesh",
     "model_axis_size",
     "replicated_sharding",
+    "gather_model_axis",
     "shard_spatial_d",
     "shard_tokens",
 ]

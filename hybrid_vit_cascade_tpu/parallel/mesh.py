@@ -82,6 +82,19 @@ def shard_tokens(x, token_axis: int = 1):
     return jax.lax.with_sharding_constraint(x, P(*spec))
 
 
+def gather_model_axis(x, batch_axis: int = 0):
+    """Replicate an array over the 'model' axis while leaving the batch axis
+    unconstrained (no-op without an ambient model axis). Use before ops the
+    partitioner cannot split over spatial dims — XLA CPU's FFT thunk
+    RET_CHECKs on a dim0-major layout, which a 'model'-sharded FFT operand
+    violates (losses/multiscale.py frequency_loss)."""
+    if model_axis_size() <= 1:
+        return x
+    spec = [None] * x.ndim
+    spec[batch_axis] = P.UNCONSTRAINED
+    return jax.lax.with_sharding_constraint(x, P(*spec))
+
+
 def shard_spatial_d(x):
     """Shard a (B, C, D, H, W) conv activation over depth on the 'model'
     axis; GSPMD inserts the conv halo exchanges (SURVEY.md §7:

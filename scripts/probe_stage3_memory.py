@@ -74,6 +74,14 @@ def main():
         float(m["total_loss"])  # readback fence
         times.append(time.perf_counter() - t0)
     print(f"steady-state step: {min(times):.3f}s  ({1/min(times):.3f} steps/s)")
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        in_use = stats.get("bytes_in_use", 0) / 2**30
+        peak = stats.get("peak_bytes_in_use", 0) / 2**30
+        limit = stats.get("bytes_limit", 0) / 2**30
+        print(f"HBM: in_use={in_use:.2f} GiB  peak={peak:.2f} GiB  limit={limit:.2f} GiB")
+    except Exception as e:  # memory_stats is optional on experimental platforms
+        print(f"HBM stats unavailable: {e}")
 
 
 if __name__ == "__main__":

@@ -65,6 +65,40 @@ class TestPureLosses:
         got = float(losses.frequency_loss(jnp.asarray(p), jnp.asarray(t)))
         assert abs(got - want) / max(abs(want), 1) < 1e-4
 
+    def test_frequency_loss_odd_dims_fallback_matches_torch(self, rng):
+        # odd spatial dims take the full-spectrum path (the index-centered
+        # mask is not conjugate-symmetric there); check it against torch
+        p = rng.standard_normal((1, 1, 15, 15, 15)).astype(np.float32)
+        t = (p + 0.2 * rng.standard_normal(p.shape)).astype(np.float32)
+        tp, tt = torch.from_numpy(p), torch.from_numpy(t)
+        pm, tm = torch.abs(torch.fft.fftn(tp, dim=(-3, -2, -1))), torch.abs(
+            torch.fft.fftn(tt, dim=(-3, -2, -1)))
+        coords = torch.arange(15).float() - 7
+        dd, hh, ww = torch.meshgrid(coords, coords, coords, indexing="ij")
+        mask = ((dd ** 2 + hh ** 2 + ww ** 2).sqrt() > 3).float()[None, None]
+        want = (F.l1_loss(pm * (1 - mask), tm * (1 - mask))
+                + 2.0 * F.l1_loss(pm * mask, tm * mask)).item()
+        got = float(losses.frequency_loss(jnp.asarray(p), jnp.asarray(t)))
+        assert abs(got - want) / max(abs(want), 1) < 1e-4
+
+    def test_rfft_half_spectrum_equals_full(self, rng):
+        # the rfft fast path (even dims) must reproduce the full-spectrum
+        # formulas exactly (up to fp32 reassociation) on asymmetric shapes
+        from hybrid_vit_cascade_tpu.ops.fft import (
+            fft_magnitude_3d, half_spectrum_multiplicity, high_freq_mask,
+            high_freq_mask_half, rfft_magnitude_3d)
+
+        x = jnp.asarray(rng.standard_normal((1, 1, 8, 12, 16)).astype(np.float32))
+        y = jnp.asarray(rng.standard_normal((1, 1, 8, 12, 16)).astype(np.float32))
+        shape = (8, 12, 16)
+        pm_f, tm_f = fft_magnitude_3d(x), fft_magnitude_3d(y)
+        m_f = high_freq_mask(shape)
+        full = float(jnp.sum(jnp.abs(pm_f - tm_f) * m_f))
+        pm_h, tm_h = rfft_magnitude_3d(x), rfft_magnitude_3d(y)
+        half = float(jnp.sum(jnp.abs(pm_h - tm_h) * high_freq_mask_half(shape)
+                             * half_spectrum_multiplicity(shape)))
+        assert abs(full - half) / max(abs(full), 1e-6) < 1e-5
+
     def test_focal_frequency_matches_torch(self, rng):
         p, t = _vols(rng)
         tp, tt = torch.from_numpy(p), torch.from_numpy(t)

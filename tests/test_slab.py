@@ -9,7 +9,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from hybrid_vit_cascade_tpu.ops.slab import chain_apply_dense, chain_apply_slab
+from hybrid_vit_cascade_tpu.ops.slab import (
+    chain_apply_dense,
+    chain_apply_slab,
+    chain_apply_streamed,
+)
 
 
 def _make_chain(rng, spec):
@@ -81,6 +85,49 @@ class TestChainEquality:
 
         gx_d, gc_d = jax.grad(loss(lambda x, c: chain_apply_dense(x, c)), argnums=(0, 1))(x, arrays)
         gx_s, gc_s = jax.grad(loss(lambda x, c: chain_apply_slab(x, c, 4)), argnums=(0, 1))(x, arrays)
+        np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_d), rtol=5e-5, atol=5e-5)
+        for got, want in zip(gc_s, gc_d):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=5e-5, atol=5e-5)
+
+    @pytest.mark.parametrize("spec,shape,num_slabs", [
+        (STEM_SPEC, (1, 1, 16, 8, 8), 4),
+        (STEM_SPEC, (2, 1, 32, 8, 8), 8),
+        (DETAIL_SPEC, (1, 1, 16, 8, 8), 4),
+        (DETAIL_SPEC, (1, 1, 12, 8, 8), 8),  # non-divisible: clamps to 4
+    ])
+    def test_streamed_values_match_dense(self, rng, spec, shape, num_slabs):
+        chain = _make_chain(rng, spec)
+        x = jnp.asarray(rng.normal(0, 1, shape), jnp.float32)
+        dense = chain_apply_dense(x, chain)
+        # exercise every storage/density decision: always-store, never-store
+        # (pure recompute), and tiny dense-tail cutoffs
+        for kw in (dict(store_min_flops=0.0, dense_max_voxels=0),
+                   dict(store_min_flops=1e30, dense_max_voxels=0),
+                   dict(store_min_flops=0.0, dense_max_voxels=8 * 8 * 8)):
+            got = chain_apply_streamed(x, chain, num_slabs, **kw)
+            assert got.shape == dense.shape
+            np.testing.assert_allclose(np.asarray(got), np.asarray(dense),
+                                       rtol=2e-5, atol=2e-5, err_msg=str(kw))
+
+    def test_streamed_gradients_match_dense(self, rng):
+        chain = _make_chain(rng, DETAIL_SPEC)
+        x = jnp.asarray(rng.normal(0, 1, (1, 1, 16, 8, 8)), jnp.float32)
+        cot = jnp.asarray(rng.normal(0, 1, (1, 1, 16, 8, 8)), jnp.float32)
+        arrays = [p for op in chain for p in op[1:] if isinstance(p, jnp.ndarray)]
+
+        def rebuild(arrs):
+            it = iter(arrs)
+            return [tuple(next(it) if isinstance(p, jnp.ndarray) else p for p in op)
+                    for op in chain]
+
+        def loss(fn):
+            return lambda x, arrs: jnp.sum(fn(x, rebuild(arrs)) * cot)
+
+        gx_d, gc_d = jax.grad(loss(chain_apply_dense), argnums=(0, 1))(x, arrays)
+        gx_s, gc_s = jax.grad(
+            loss(lambda x, c: chain_apply_streamed(x, c, 4, store_min_flops=0.0,
+                                                   dense_max_voxels=0)),
+            argnums=(0, 1))(x, arrays)
         np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_d), rtol=5e-5, atol=5e-5)
         for got, want in zip(gc_s, gc_d):
             np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=5e-5, atol=5e-5)
