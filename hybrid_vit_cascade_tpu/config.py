@@ -45,6 +45,12 @@ class ModelConfig:
     # the dense path so checkpoints interchange freely
     stage3_slab_scan: bool = False
     slab_count: int = 8
+    # 'streamed' (endpoint-storing, ~2.4× faster at 256³) | 'recompute'
+    # (zero-storage fallback); identical numerics and parameters
+    slab_impl: str = "streamed"
+    # stage-3 remat granularity: 'block' (minimum memory) | 'mlp' (faster —
+    # attention kernels are not re-run in the backward; ~1.5 GB extra HBM)
+    remat_mode: str = "block"
 
 
 @dataclass

@@ -211,6 +211,7 @@ class Stage3ViTTrunk(nn.Module, _ChainParams):
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
     inner_remat: bool = True
+    remat_mode: str = "block"  # 'block' | 'mlp' (see models/vit3d.py)
     slab_scan: bool = False
     slab_count: int = 8
     slab_impl: str = "streamed"
@@ -257,6 +258,7 @@ class Stage3ViTTrunk(nn.Module, _ChainParams):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             remat=self.inner_remat,
+            remat_mode=self.remat_mode,
             layout="NCDHW",
             external_stem=True,
             name="vit_refiner",
@@ -278,6 +280,7 @@ class Stage3Refiner256(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
     remat: bool = True
+    remat_mode: str = "block"  # 'block' | 'mlp' (see models/vit3d.py)
     # stream the 256³ conv branches depth-slab-wise (ops/slab.py) — the
     # full-resolution intermediates never materialize, so no outer remat
     # region is needed; parameters are identical either way.
@@ -309,6 +312,7 @@ class Stage3Refiner256(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             inner_remat=self.remat,
+            remat_mode=self.remat_mode,
             slab_scan=self.slab_scan,
             slab_count=self.slab_count,
             slab_impl=self.slab_impl,
@@ -354,6 +358,9 @@ class ProgressiveCascadeModel(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
     use_gradient_checkpointing: bool = True
+    # stage-3 remat granularity: 'block' (min memory) | 'mlp' (faster —
+    # attention not recomputed in backward; see models/vit3d.py)
+    remat_mode: str = "block"
     # depth-slab streaming of the stage-3 256³ conv branches (ops/slab.py);
     # same parameters either way — flip freely between train and inference
     stage3_slab_scan: bool = False
@@ -417,6 +424,7 @@ class ProgressiveCascadeModel(nn.Module):
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
                 remat=self.use_gradient_checkpointing,
+                remat_mode=self.remat_mode,
                 slab_scan=self.stage3_slab_scan,
                 slab_count=self.slab_count,
                 slab_impl=self.slab_impl,

@@ -41,6 +41,11 @@ class HybridViTBlock3D(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
     store_attention: bool = False  # sow cross-attn probs (vit_components.py:63-108)
+    # remat ONLY the MLP (its 4×-wide hidden is the block's fattest residual);
+    # attention runs un-rematted, so its flash fwd kernel is NOT re-run in the
+    # backward — use via HybridViT3D(remat_mode='mlp') when HBM affords the
+    # saved attention residuals (~200 MB/block at stage-3 sizes)
+    remat_mlp: bool = False
 
     @nn.compact
     def __call__(
@@ -81,7 +86,11 @@ class HybridViTBlock3D(nn.Module):
 
         h = layer_norm(self.dtype)(x)
         h = (1.0 + scale_mlp) * h + shift_mlp
-        h = Mlp(self.voxel_dim * self.mlp_ratio, self.voxel_dim, self.dropout, dtype=self.dtype)(h, train=train)
+        mlp_cls = nn.remat(Mlp, static_argnums=(2,)) if self.remat_mlp else Mlp
+        # explicit name: nn.remat changes the class-derived auto-name, and the
+        # param tree must be identical across remat modes (checkpoint compat)
+        h = mlp_cls(self.voxel_dim * self.mlp_ratio, self.voxel_dim, self.dropout,
+                    dtype=self.dtype, name="Mlp_0")(h, train)
         x = x + gate_mlp * h
         return x
 
@@ -140,6 +149,12 @@ class HybridViT3D(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False  # jax.checkpoint per block (ref: torch.utils.checkpoint)
+    # 'block': remat whole blocks (minimum memory — the reference's scheme);
+    # 'mlp': remat only each block's MLP, keeping attention un-rematted so
+    # the flash kernels run once, not twice — ~0.3 s/step faster at stage 3
+    # for ~1.5 GB of saved attention residuals (unpadded, see
+    # ops/pallas/flash_attention.py)
+    remat_mode: str = "block"
     # 'NDHWC' (channels-last) or 'NCDHW' (feature-first). NCDHW avoids the
     # 128-lane channel padding for small-C high-res stems (ops/conv3d.py) —
     # use it for the 128³/256³ refiner stages.
@@ -171,15 +186,17 @@ class HybridViT3D(nn.Module):
         elif self.layout == "NCDHW":
             from ..ops.conv3d import ConvNCDHW, GroupNormNCDHW
 
-            # remat applied unconditionally (not gated on `train`): the wrapper
-            # changes the module path, so init/apply must agree
             conv_cls = nn.remat(ConvNCDHW) if self.remat else ConvNCDHW
-            for out_ch in blocks_ch:
-                h = conv_cls(out_ch, 3, stride=2, padding=1, dtype=self.dtype)(h)
+            for ci, out_ch in enumerate(blocks_ch):
+                # explicit name: keeps remat/no-remat param paths identical
+                # (nn.remat auto-names would be "CheckpointConvNCDHW_N")
+                h = conv_cls(out_ch, 3, stride=2, padding=1, dtype=self.dtype,
+                             name=f"ConvNCDHW_{ci}")(h)
                 h = GroupNormNCDHW(min(8, out_ch), dtype=self.dtype)(h)
                 h = nn.silu(h)
             if last_ch != self.voxel_dim:
-                h = ConvNCDHW(self.voxel_dim, 3, padding=1, dtype=self.dtype)(h)
+                h = ConvNCDHW(self.voxel_dim, 3, padding=1, dtype=self.dtype,
+                              name=f"ConvNCDHW_{len(blocks_ch)}")(h)
             # (B, C, Dd, Hd, Wd) → (B, N, C); small by now (≤32³ tokens)
             h = jnp.moveaxis(h, 1, -1)
         else:
@@ -207,9 +224,12 @@ class HybridViT3D(nn.Module):
         tokens = shard_tokens(tokens)
 
         block_cls = HybridViTBlock3D
-        if self.remat:
+        remat_mlp = False
+        if self.remat and self.remat_mode == "mlp":
+            remat_mlp = True
+        elif self.remat:
             block_cls = nn.remat(HybridViTBlock3D, static_argnums=(5,))
-        for _ in range(self.depth):
+        for i in range(self.depth):
             tokens = block_cls(
                 voxel_dim=self.voxel_dim,
                 num_heads=self.num_heads,
@@ -220,6 +240,10 @@ class HybridViT3D(nn.Module):
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
                 store_attention=self.store_attention,
+                remat_mlp=remat_mlp,
+                # explicit name: nn.remat's auto-name is "Checkpoint<cls>_N",
+                # which would make remat/no-remat param trees incompatible
+                name=f"HybridViTBlock3D_{i}",
             )(tokens, context, cond, prev_stage_embed, train)
             tokens = shard_tokens(tokens)  # keep the layout pinned per block
 

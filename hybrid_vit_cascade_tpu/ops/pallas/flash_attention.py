@@ -367,14 +367,19 @@ def _flash_fwd_core(q, k, v, scale, block_q, block_kv):
     nq_pad = _ceil_to(nq, bq)
     nk_pad = _ceil_to(nk, bkv)
 
-    qp = jnp.pad(q if scale == 1.0 else q * jnp.asarray(scale, q.dtype),
-                 ((0, 0), (0, nq_pad - nq), (0, d_pad - d)))
+    qs = q if scale == 1.0 else q * jnp.asarray(scale, q.dtype)
+    qp = jnp.pad(qs, ((0, 0), (0, nq_pad - nq), (0, d_pad - d)))
     kp = jnp.pad(k, ((0, 0), (0, nk_pad - nk), (0, d_pad - d)))
     vp = jnp.pad(v, ((0, 0), (0, nk_pad - nk), (0, d_pad - d)))
     vp = vp.at[:, :, d].set(jnp.asarray(1.0, vp.dtype))  # row-sum lane
 
     out, lse = _flash_fwd_padded(qp, kp, vp, nk, bq, bkv, d, interpret=_is_cpu())
-    return out[:, :nq, :d], (qp, kp, vp, out, lse[..., 0], bq, bkv, nk)
+    out = out[:, :nq, :d]
+    # Residuals are saved UNPADDED (d=32 pads 4× to the 128 lane width; at
+    # 8×32,768×32 the padded set is ~270 MB vs ~68 MB). The backward re-pads —
+    # a few cheap copies — so keeping attention outside a remat region (the
+    # vit3d remat_mode='mlp' path) stays affordable at stage-3 sizes.
+    return out, (qs, k, v, out, lse[:, :nq, 0], bq, bkv, nk)
 
 
 def _flash_core_fwd(q, k, v, scale, block_q, block_kv):
@@ -383,25 +388,34 @@ def _flash_core_fwd(q, k, v, scale, block_q, block_kv):
 
 
 def _flash_core_bwd(scale, block_q, block_kv, res, g):
-    # NOTE: the saved qp is PRE-SCALED (fwd folds `scale` into q), so the
+    # NOTE: the saved q is PRE-SCALED (fwd folds `scale` into q), so the
     # in-kernel math is scale-free; dq w.r.t. the original q needs one
     # final ×scale (a no-op for the public wrapper, which passes 1.0).
-    qp, kp, vp, outp, lse, bq, bkv, kv_len = res
-    nq = g.shape[1]
-    d = g.shape[2]
-    gp = jnp.pad(g, ((0, 0), (0, qp.shape[1] - nq), (0, qp.shape[2] - d)))
+    qs, k, v, out, lse, bq, bkv, kv_len = res
+    BH, nq, d = qs.shape
+    d_pad = _ceil_to(d + 1, LANE)
+    nq_pad = _ceil_to(nq, bq)
+    nk_pad = _ceil_to(kv_len, bkv)
+    qp = jnp.pad(qs, ((0, 0), (0, nq_pad - nq), (0, d_pad - d)))
+    kp = jnp.pad(k, ((0, 0), (0, nk_pad - kv_len), (0, d_pad - d)))
+    vp = jnp.pad(v, ((0, 0), (0, nk_pad - kv_len), (0, d_pad - d)))
+    outp = jnp.pad(out, ((0, 0), (0, nq_pad - nq), (0, d_pad - d)))
+    # padded q rows: s=0 and big lse → p=exp(-lse)=0, so their dk/dv
+    # contributions vanish exactly
+    lsep = jnp.pad(lse, ((0, 0), (0, nq_pad - nq)), constant_values=1e30)
+    gp = jnp.pad(g, ((0, 0), (0, nq_pad - nq), (0, d_pad - d)))
     # clamp to the backward's VMEM-feasible tile; padded lengths stay
     # divisible because fwd blocks are power-of-two multiples of these
     bqb = min(bq, BWD_BLOCK_Q)
     bkvb = min(bkv, BWD_BLOCK_KV)
-    dq, dk, dv = _bwd_pallas(qp, kp, vp, outp, lse, gp, kv_len, bqb, bkvb,
+    dq, dk, dv = _bwd_pallas(qp, kp, vp, outp, lsep, gp, kv_len, bqb, bkvb,
                              interpret=_is_cpu())
     if scale != 1.0:
         dq = dq * scale
     return (
-        dq[:, :nq, :d].astype(qp.dtype),
-        dk[:, :kv_len, :d].astype(kp.dtype),
-        dv[:, :kv_len, :d].astype(vp.dtype),
+        dq[:, :nq, :d].astype(qs.dtype),
+        dk[:, :kv_len, :d].astype(k.dtype),
+        dv[:, :kv_len, :d].astype(v.dtype),
     )
 
 

@@ -75,6 +75,7 @@ def build_model(cfg: Config):
             stage_sizes=tuple(m.stage_sizes),
             use_gradient_checkpointing=m.use_gradient_checkpointing,
             stage3_slab_scan=m.stage3_slab_scan, slab_count=m.slab_count,
+            slab_impl=m.slab_impl, remat_mode=m.remat_mode,
         )
     if m.family == "direct128_h200":
         return Direct128ModelH200(xray_feature_dim=m.xray_feature_dim, dtype=dtype,

@@ -19,6 +19,8 @@ def main():
     ap.add_argument("--stage", type=int, default=3)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--remat-mode", type=str, default="block", choices=["block", "mlp"])
+    ap.add_argument("--slab-impl", type=str, default="streamed", choices=["streamed", "recompute"])
     args = ap.parse_args()
 
     import jax
@@ -33,7 +35,8 @@ def main():
     print("devices:", jax.devices())
     res = {1: 64, 2: 128, 3: 256}[args.stage]
     model = ProgressiveCascadeModel(dtype=jnp.bfloat16, attn_impl="auto",
-                                    stage3_slab_scan=not args.dense, slab_count=args.slabs)
+                                    stage3_slab_scan=not args.dense, slab_count=args.slabs,
+                                    slab_impl=args.slab_impl, remat_mode=args.remat_mode)
     B = args.batch
     xrays = jnp.zeros((B, 2, 1, 512, 512), jnp.bfloat16)
     variables = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), xrays, max_stage=args.stage))

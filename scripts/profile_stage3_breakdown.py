@@ -103,21 +103,28 @@ def main():
             ("conv", 1, 32, 1, 1),
         ]
         x = jax.random.normal(key, (B, 1, 256, 256, 256), jnp.bfloat16)
+        impls = {
+            "recompute": lambda x, c: slab.chain_apply_slab(x, c, 8, dtype=jnp.bfloat16),
+            "streamed": lambda x, c: slab.chain_apply_streamed(x, c, 8, dtype=jnp.bfloat16),
+            "streamed_all": lambda x, c: slab.chain_apply_streamed(
+                x, c, 8, dtype=jnp.bfloat16, store_min_flops=0.0),
+        }
+        wanted = [s for s in ("streamed", "streamed_all", "recompute") if s in groups] or ["streamed"]
         for name, spec in [("chain/trunk_stem", trunk_spec), ("chain/detail", detail_spec)]:
             chain = mk_chain(spec, key)
             arrs = slab.chain_arrays(chain)
+            for impl in wanted:
+                fn = impls[impl]
 
-            def lossf(x, arrs, chain=chain):
-                c = slab.chain_rebuild(chain, arrs)
-                out = slab.chain_apply_slab(x, c, 8, dtype=jnp.bfloat16)
-                return jnp.sum(out.astype(jnp.float32) ** 2)
+                def lossf(x, arrs, fn=fn, chain=chain):
+                    c = slab.chain_rebuild(chain, arrs)
+                    return jnp.sum(fn(x, c).astype(jnp.float32) ** 2)
 
-            g = jax.jit(jax.value_and_grad(lossf, argnums=(0, 1)))
-            timeit(name + " fwd+bwd", g, x, arrs, iters=args.iters)
-            f = jax.jit(lambda x, arrs, chain=chain: jnp.sum(
-                slab.chain_apply_slab(x, slab.chain_rebuild(chain, arrs), 8,
-                                      dtype=jnp.bfloat16).astype(jnp.float32) ** 2))
-            timeit(name + " fwd", f, x, arrs, iters=args.iters)
+                g = jax.jit(jax.value_and_grad(lossf, argnums=(0, 1)))
+                timeit(f"{name}[{impl}] fwd+bwd", g, x, arrs, iters=args.iters)
+                f = jax.jit(lambda x, arrs, fn=fn, chain=chain: jnp.sum(
+                    fn(x, slab.chain_rebuild(chain, arrs)).astype(jnp.float32) ** 2))
+                timeit(f"{name}[{impl}] fwd", f, x, arrs, iters=args.iters)
 
     if "vit" in groups:
         from hybrid_vit_cascade_tpu.models.vit3d import HybridViT3D

@@ -53,6 +53,30 @@ class TestViTBackbone:
         g = jax.grad(loss)(v["params"])
         assert np.isfinite(float(jax.tree.leaves(g)[0].sum()))
 
+    def test_remat_modes_checkpoint_compatible(self, rng):
+        """remat off / per-block / mlp-only must produce IDENTICAL param
+        trees (checkpoints interchange) and matching outputs+grads —
+        nn.remat's auto-name would otherwise prefix 'Checkpoint' and break
+        cross-mode restore."""
+        kw = dict(volume_size=(16,) * 3, in_channels=1, voxel_dim=32, depth=2,
+                  num_heads=4, context_dim=16, cond_dim=32, attn_impl="xla")
+        x = jnp.asarray(rng.normal(0, 1, (1, 16, 16, 16, 1)), jnp.float32)
+        ctx = jnp.asarray(rng.normal(0, 1, (1, 8, 16)), jnp.float32)
+        cond = jnp.asarray(rng.normal(0, 1, (1, 32)), jnp.float32)
+        m0 = models.HybridViT3D(**kw, remat=False)
+        v = m0.init(KEY, x, ctx, cond)
+        base = np.asarray(m0.apply(v, x, ctx, cond))
+        g0 = jax.grad(lambda p: (m0.apply({"params": p}, x, ctx, cond) ** 2).sum())(v["params"])
+        for mode in ("block", "mlp"):
+            m = models.HybridViT3D(**kw, remat=True, remat_mode=mode)
+            v2 = m.init(KEY, x, ctx, cond)
+            assert jax.tree.structure(v) == jax.tree.structure(v2), mode
+            np.testing.assert_allclose(np.asarray(m.apply(v, x, ctx, cond)), base,
+                                       rtol=1e-6, atol=1e-6)
+            g = jax.grad(lambda p, m=m: (m.apply({"params": p}, x, ctx, cond) ** 2).sum())(v["params"])
+            for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g0)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
+
     def test_prev_stage_embedding(self):
         m = models.HybridViTBlock3D(voxel_dim=32, num_heads=4, context_dim=16, cond_dim=32, use_prev_stage=True)
         x = jnp.ones((2, 10, 32))
