@@ -51,6 +51,13 @@ BWD_BLOCK_Q = 1024
 BWD_BLOCK_KV = 1024
 LANE = 128
 NEG_INF = -1e30
+# Base-2 softmax: log2(e) is folded into the q pre-scale, so the kernels run
+# exp2 instead of exp (the VPU's exp is exp2 plus a multiply; the multiply
+# rides the existing q-scale for free). Normalized probabilities are
+# IDENTICAL: exp2((s - m)·log2e) = exp(s - m). lse is stored in base-2 and
+# dk picks up one ln2 factor outside the kernel (q absorbed log2e, k didn't).
+LOG2E = math.log2(math.e)
+LN2 = math.log(2.0)
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -98,8 +105,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr, *, kv_len, 
     m_prev = m_scr[:, :1]  # (block_q, 1)
     m_cur = jnp.max(s, axis=1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)  # (block_q, block_kv)
+    alpha = jnp.exp2(m_prev - m_new)
+    p = jnp.exp2(s - m_new)  # (block_q, block_kv); base-2 (q pre-scaled by log2e)
 
     pv = lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -112,7 +119,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr, *, kv_len, 
         l = acc_scr[:, sum_lane : sum_lane + 1]
         safe_l = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_scr[:] / safe_l).astype(o_ref.dtype)
-        lse_ref[0] = (m_scr[:] + jnp.log(safe_l)).astype(lse_ref.dtype)
+        lse_ref[0] = (m_scr[:] + jnp.log2(safe_l)).astype(lse_ref.dtype)  # base-2
 
 
 def _flash_fwd_padded(q, k, v, kv_len, block_q, block_kv, sum_lane, interpret):
@@ -173,7 +180,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, stats_ref, dq_ref, dq_scr, *,
     if mask_kv:
         col = kv_idx * block_kv + lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < kv_len, s, NEG_INF)
-    p = jnp.exp(s - lse)
+    p = jnp.exp2(s - lse)  # base-2 lse
     dp = lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     ds = p * (dp - delta)
     dq_scr[:] = dq_scr[:] + lax.dot_general(
@@ -207,7 +214,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, stats_ref, dk_ref, dv_ref,
     delta = stats_ref[0][:, 1:2]
 
     s = lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    p = jnp.exp(s - lse)  # (bq, bkv)
+    p = jnp.exp2(s - lse)  # (bq, bkv); base-2 lse
     pb = p.astype(do.dtype)
     dv_scr[:] = dv_scr[:] + lax.dot_general(
         pb, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -289,7 +296,9 @@ def _bwd_blockwise(q, k, v, out, lse, do, scale, kv_len, block_q, block_kv):
     """Blockwise-recompute backward in jnp (shapes: (BH, N, d), lse (BH, Nq)).
 
     Superseded by _bwd_pallas on the hot path; kept as the numerical oracle
-    (tests/test_flash_attention.py) — pass scale=1.0 when q is pre-scaled."""
+    (tests/test_flash_attention.py) — pass scale=1.0 when q is pre-scaled.
+    Base-2 semantics like the kernels: q pre-scaled by log2e, lse in base-2,
+    and the caller applies the ln2 factor to dk."""
     BH, nq, d = q.shape
     nk = k.shape[1]
     f32 = jnp.float32
@@ -319,7 +328,7 @@ def _bwd_blockwise(q, k, v, out, lse, do, scale, kv_len, block_q, block_kv):
             s = jnp.einsum("bqd,bkd->bqk", qb, kb) * scale
             col = ki * block_kv + col_base
             s = jnp.where(col[None, None, :] < kv_len, s, NEG_INF)
-            p = jnp.exp(s - lseb[..., None])  # (BH, bq, bkv)
+            p = jnp.exp2(s - lseb[..., None])  # (BH, bq, bkv); base-2 lse
             dvb = jnp.einsum("bqk,bqd->bkd", p, dob)
             dp = jnp.einsum("bqd,bkd->bqk", dob, vb)
             ds = p * (dp - deltab[..., None])
@@ -367,7 +376,8 @@ def _flash_fwd_core(q, k, v, scale, block_q, block_kv):
     nq_pad = _ceil_to(nq, bq)
     nk_pad = _ceil_to(nk, bkv)
 
-    qs = q if scale == 1.0 else q * jnp.asarray(scale, q.dtype)
+    # base-2 softmax: log2(e) folds into the (single) q pre-multiply
+    qs = q * jnp.asarray(scale * LOG2E, q.dtype)
     qp = jnp.pad(qs, ((0, 0), (0, nq_pad - nq), (0, d_pad - d)))
     kp = jnp.pad(k, ((0, 0), (0, nk_pad - nk), (0, d_pad - d)))
     vp = jnp.pad(v, ((0, 0), (0, nk_pad - nk), (0, d_pad - d)))
@@ -410,8 +420,11 @@ def _flash_core_bwd(scale, block_q, block_kv, res, g):
     bkvb = min(bkv, BWD_BLOCK_KV)
     dq, dk, dv = _bwd_pallas(qp, kp, vp, outp, lsep, gp, kv_len, bqb, bkvb,
                              interpret=_is_cpu())
+    # base-2 chain rule: dL/dq = scale·log2e·ln2·(ds@k) = scale·kernel_dq;
+    # dL/dk = ln2·(dsᵀ@q_scaled) since only q absorbed log2e
     if scale != 1.0:
         dq = dq * scale
+    dk = dk * LN2
     return (
         dq[:, :nq, :d].astype(qs.dtype),
         dk[:, :kv_len, :d].astype(k.dtype),
