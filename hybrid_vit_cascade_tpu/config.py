@@ -209,6 +209,10 @@ def validate_config(cfg: Config) -> None:
         raise ValueError(f"unknown model family {cfg.model.family!r}; expected one of {MODEL_FAMILIES}")
     if cfg.model.dtype not in ("float32", "bfloat16"):
         raise ValueError(f"dtype must be float32|bfloat16, got {cfg.model.dtype}")
+    if cfg.model.slab_impl not in ("streamed", "recompute"):
+        raise ValueError(f"slab_impl must be streamed|recompute, got {cfg.model.slab_impl}")
+    if cfg.model.remat_mode not in ("block", "mlp"):
+        raise ValueError(f"remat_mode must be block|mlp, got {cfg.model.remat_mode}")
     if cfg.model.family == "cascade":
         for name in ("stage1", "stage2", "stage3"):
             if name not in cfg.training.stages:

@@ -158,6 +158,11 @@ class TestCascadeTrainer:
         cfg.model.stage_depths = (1, 1, 1)
         cfg.model.stage_heads = (4, 4, 4)
         cfg.model.stage_sizes = (16, 32, 64)
+        # the production fast path: streamed slab chains + mlp-granular remat
+        cfg.model.stage3_slab_scan = True
+        cfg.model.slab_count = 4
+        cfg.model.slab_impl = "streamed"
+        cfg.model.remat_mode = "mlp"
         cfg.data.synthetic = True
         cfg.data.synthetic_patients = 2
         cfg.data.xray_size = 64
