@@ -123,7 +123,11 @@ def make_train_step(model, loss_fn: Callable, model_kwargs: Optional[Dict] = Non
 
     def apply_loss(params, batch_stats, batch, rng):
         variables = {"params": params}
-        mutable = []
+        # mutable must be False (not []) for BN-free models: flax's apply
+        # returns an (out, vars) tuple for ANY list-valued mutable, empty
+        # included — the empty list used to leak that tuple into loss_fn as
+        # `pred` for the CNN families (GroupNorm-only, no batch_stats)
+        mutable = False
         if batch_stats:
             variables["batch_stats"] = batch_stats
             mutable = ["batch_stats"]

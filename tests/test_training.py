@@ -16,6 +16,41 @@ from hybrid_vit_cascade_tpu.training import (
 )
 
 
+class TestTrainStepBNFree:
+    def test_train_step_without_batch_stats(self):
+        """Regression: a model with NO BatchNorm (the CNN decoder families are
+        GroupNorm-only) must pass a plain array as `pred` into the loss —
+        flax's apply returns an (out, vars) tuple for ANY list-valued
+        `mutable`, including the empty list, which used to leak into
+        loss_fn."""
+        import flax.linen as nn
+
+        from hybrid_vit_cascade_tpu.training.trainer import TrainState, make_train_step
+
+        class Tiny(nn.Module):  # GroupNorm-only, no batch_stats collection
+            @nn.compact
+            def __call__(self, x, train=False):
+                h = nn.Dense(8)(x.reshape(x.shape[0], -1))
+                return nn.Dense(4)(nn.silu(h))
+
+        model = Tiny()
+        batch = {"drr_stacked": jnp.ones((2, 2, 1, 4, 4)), "ct_volume": jnp.ones((2, 4))}
+        variables = model.init(jax.random.PRNGKey(0), batch["drr_stacked"])
+        assert "batch_stats" not in variables
+        tx = make_optimizer(1e-3, 10, trainable_prefixes=list(variables["params"].keys()),
+                            params=variables["params"])
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=variables["params"],
+                           batch_stats={}, opt_state=tx.init(variables["params"]), tx=tx)
+
+        def loss_fn(pred, b):
+            assert not isinstance(pred, tuple), "pred leaked flax's (out, vars) tuple"
+            return {"total_loss": jnp.mean((pred - b["ct_volume"]) ** 2)}
+
+        step = make_train_step(model, loss_fn)
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["total_loss"]))
+
+
 class TestFreezing:
     def test_stage_freeze_labels(self):
         params = {"stage1": {"w": jnp.ones(3)}, "stage2": {"w": jnp.ones(3)}, "xray_encoder": {"w": jnp.ones(3)}}
