@@ -1,0 +1,308 @@
+"""Pallas TPU implicit-GEMM 3×3×3 stride-1 conv for NCDHW slab chains.
+
+Why: XLA's 3D conv at the cascade's small channel counts (the stage-3
+detail-enhancer conv 64→32 at 256³, reference model_progressive.py:259-267)
+sustains only ~12 TF/s on v5e (measured, scripts/bench_pallas_conv_probe2.py
+VX), while a VMEM-resident formulation of the same contraction sustains
+~24-28 TF/s. The winning shape from the probe sweep is the K-packed pair dot
+(V5: (Cout, 2·Cin) @ (2·Cin, n) at 28.3 TF/s vs 23.7 for per-tap K=Cin dots,
+22.9-24.3 for tap-stacked-M variants, and 23.8 for K=3·Cin) — so this kernel
+issues, per (dx, dy) tap column, one dz-PAIR dot (K=2·Cin, the z0/z1 taps)
+plus one dz=2 single dot (K=Cin).
+
+Key layout decisions (all load/shift costs measured or bounded):
+  * Operand layout (B, C, D, H·W): lanes = flattened H·W so a dy (=±1 row)
+    shift is an ALIGNED lane-window slice (offset W) and dz shifts are row
+    selects — both free. Blocks of L lanes per grid step.
+  * z halos via three 1-deep block specs (d, d+1, d+2): input is VALID in D
+    (callers pre-halo, which the ops/slab bodies already do).
+  * y halos via two extra W-wide edge specs per z (1.25× load, not 3×).
+  * x (±1 lane) shifts are applied on the ACCUMULATOR: the three dx tap
+    columns accumulate into separate f32 partials and two of them get one
+    masked lane-roll each (2×256 KB VPU per ~226 MFLOP block) instead of
+    pre-rolling input copies (the naive alternative costs 27× that).
+  * The stitched scratch is z-major (3·Cin rows) so the dz-pair dot's K rows
+    (z0,z1 | z1,z2) are a contiguous row slice — K-packing costs nothing.
+
+Numerics: dots accumulate in f32 (preferred_element_type) over bf16 (or
+f32) operands, bias added in f32, output cast to the input dtype — matching
+XLA's TPU conv accumulation behavior. Gradients are exact: dgrad reuses this
+same kernel with channel-transposed, tap-flipped weights; wgrad is a
+deep-K (K = L positions) accumulation kernel over the same stitched layout.
+
+Runs interpreted on CPU (tests), compiled on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _is_cpu() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def supports(cin: int, k: int, stride: int, h: int, w: int) -> bool:
+    """Shape gate for the Pallas path (else callers fall back to XLA).
+
+    Any cin ≥ 1 is supported: small-cin convs (e.g. the chains' 1→64 stems)
+    waste MXU contraction rows but are bandwidth-bound anyway, and running
+    them through the same kernel keeps the whole chain body in one layout —
+    the XLA-conv↔Pallas relayout boundary costs ~3× the conv itself
+    (measured: mixed XLA/Pallas chain body 472 ms vs 180 ms all-XLA)."""
+    return (
+        k == 3
+        and stride == 1
+        and cin >= 1
+        and w % 128 == 0
+        and h >= 2
+    )
+
+
+def _lane_block(h: int, w: int) -> int:
+    """Lanes per grid step: a multiple of W (so dy shifts stay aligned) that
+    divides H·W; 8 rows ≈ 2048 lanes at W=256 (the probe's swept optimum)."""
+    rows = 8
+    while h % rows:
+        rows //= 2
+    return w * max(rows, 1)
+
+
+def _pack_weights(w: jnp.ndarray, dtype):
+    """(Cout, Cin, 3, 3, 3) OIDHW → pair (3dx, 3dy, Cout, 2Cin) for the
+    z0/z1 dot and single (3dx, 3dy, Cout, Cin) for z2; K rows are z-major
+    (z·Cin + c) to match the stitched scratch layout."""
+    # (dx, dy, Cout, z, Cin)
+    wt = jnp.transpose(w, (4, 3, 0, 2, 1)).astype(dtype)
+    cout, cin = w.shape[0], w.shape[1]
+    pair = wt[:, :, :, 0:2, :].reshape(3, 3, cout, 2 * cin)
+    sing = wt[:, :, :, 2, :]
+    return pair, sing
+
+
+def _conv_kernel(cin: int, cout: int, L: int, W: int, out_dtype,
+                 *refs):
+    (m0, m1, m2, l0, l1, l2, r0, r1, r2, wp_ref, ws_ref, b_ref,
+     o_ref, s_ref) = refs
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    mains = (m0, m1, m2)
+    lefts = (l0, l1, l2)
+    rights = (r0, r1, r2)
+    for z in range(3):
+        left = lefts[z][0, :, :]
+        right = rights[z][0, :, :]
+        zero = jnp.zeros((), left.dtype)
+        s_ref[pl.ds(z * cin, cin), 0:W] = jnp.where(j > 0, left, zero)
+        s_ref[pl.ds(z * cin, cin), W:W + L] = mains[z][0, :, :]
+        s_ref[pl.ds(z * cin, cin), W + L:] = jnp.where(j < nj - 1, right, zero)
+
+    acc = jnp.broadcast_to(b_ref[:, :].astype(jnp.float32), (cout, L))
+    lane = lax.broadcasted_iota(jnp.int32, (1, L), 1) % W
+    for dx in range(3):
+        p = jnp.zeros((cout, L), jnp.float32)
+        for dy in range(3):
+            win = s_ref[:, pl.ds(W * dy, L)]
+            p += lax.dot_general(
+                wp_ref[dx, dy], win[0:2 * cin, :],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            p += lax.dot_general(
+                ws_ref[dx, dy], win[2 * cin:3 * cin, :],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        if dx == 0:
+            acc += jnp.where(lane == 0, 0.0, jnp.roll(p, 1, axis=1))
+        elif dx == 1:
+            acc += p
+        else:
+            acc += jnp.where(lane == W - 1, 0.0, jnp.roll(p, -1, axis=1))
+    o_ref[0, :, :] = acc.astype(out_dtype)
+
+
+def _x_specs(cin: int, D: int, L: int, W: int, E: int):
+    """Nine input specs over x flattened to (B, Cin, Dext·H·W) — folding D
+    into the lane dim keeps the block's trailing dims (Cin, L), which is
+    what the TPU lowering requires, with no host-side transpose. Per
+    z-offset r ∈ {0,1,2}: a main L-lane block plus W-wide left/right y-halo
+    edge blocks (clamped at plane boundaries; the kernel zero-masks the
+    clamped loads)."""
+    lw = L // W
+    jl = (W * E) // L  # lane blocks per (b, z) plane
+    specs = []
+    for r in (0, 1, 2):
+        specs.append(pl.BlockSpec(
+            (1, cin, L),
+            functools.partial(
+                lambda r, bd, j: (bd // D, 0, (bd % D + r) * jl + j), r)))
+    for r in (0, 1, 2):
+        specs.append(pl.BlockSpec(
+            (1, cin, W),
+            functools.partial(
+                lambda r, bd, j: (bd // D, 0,
+                                  (bd % D + r) * E
+                                  + jnp.maximum(j * lw - 1, 0)), r)))
+    for r in (0, 1, 2):
+        specs.append(pl.BlockSpec(
+            (1, cin, W),
+            functools.partial(
+                lambda r, bd, j: (bd // D, 0,
+                                  (bd % D + r) * E
+                                  + jnp.minimum((j + 1) * lw, E - 1)), r)))
+    return specs
+
+
+def _conv_fwd(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray,
+              interpret: bool) -> jnp.ndarray:
+    """x: (B, Cin, D+2, H, W) VALID in D / SAME in H,W → (B, Cout, D, H, W)."""
+    B, cin, dext, H, W = x.shape
+    cout = w.shape[0]
+    D = dext - 2
+    L = _lane_block(H, W)
+    E = (H * W) // W
+    xf = x.reshape(B, cin, dext * H * W)
+    wp, ws = _pack_weights(w, x.dtype)
+    b2 = bias.astype(jnp.float32).reshape(cout, 1)
+
+    out = pl.pallas_call(
+        functools.partial(_conv_kernel, cin, cout, L, W, x.dtype),
+        grid=(B * D, (H * W) // L),
+        in_specs=_x_specs(cin, D, L, W, E) + [
+            pl.BlockSpec((3, 3, cout, 2 * cin), lambda bd, j: (0, 0, 0, 0)),
+            pl.BlockSpec((3, 3, cout, cin), lambda bd, j: (0, 0, 0, 0)),
+            pl.BlockSpec((cout, 1), lambda bd, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, cout, L),
+            lambda bd, j: (bd // D, 0, (bd % D) * ((H * W) // L) + j)),
+        out_shape=jax.ShapeDtypeStruct((B, cout, D * H * W), x.dtype),
+        scratch_shapes=[pltpu.VMEM((3 * cin, L + 2 * W), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "parallel")),
+        interpret=interpret,
+    )(*([xf] * 9), wp, ws, b2)
+    return out.reshape(B, cout, D, H, W)
+
+
+def _wgrad_kernel(cin: int, cout: int, L: int, W: int, *refs):
+    (m0, m1, m2, l0, l1, l2, r0, r1, r2, g_ref, o_ref, s_ref) = refs
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    step = pl.program_id(0) * nj + j
+
+    mains = (m0, m1, m2)
+    lefts = (l0, l1, l2)
+    rights = (r0, r1, r2)
+    for z in range(3):
+        left = lefts[z][0, :, :]
+        right = rights[z][0, :, :]
+        zero = jnp.zeros((), left.dtype)
+        s_ref[pl.ds(z * cin, cin), 0:W] = jnp.where(j > 0, left, zero)
+        s_ref[pl.ds(z * cin, cin), W:W + L] = mains[z][0, :, :]
+        s_ref[pl.ds(z * cin, cin), W + L:] = jnp.where(j < nj - 1, right, zero)
+
+    g = g_ref[0, :, :]
+    lane = lax.broadcasted_iota(jnp.int32, (1, L), 1) % W
+    zero = jnp.zeros((), g.dtype)
+
+    @pl.when(step == 0)
+    def _init():
+        o_ref[...] = jnp.zeros(o_ref.shape, o_ref.dtype)
+
+    for dx in range(3):
+        # dW tap dx pairs g[x] with in[x+dx-1]; shift g instead of the
+        # (much larger) stitched input: g_dx[x'] = g[x' - (dx-1)], zeroed
+        # where the source falls outside the x row (SAME zero padding).
+        if dx == 0:
+            gs = jnp.where(lane == W - 1, zero, jnp.roll(g, -1, axis=1))
+        elif dx == 1:
+            gs = g
+        else:
+            gs = jnp.where(lane == 0, zero, jnp.roll(g, 1, axis=1))
+        for dy in range(3):
+            win = s_ref[:, pl.ds(W * dy, L)]
+            # (3Cin, L) · (Cout, L) contracted over lanes → (3Cin, Cout)
+            part = lax.dot_general(
+                win[...], gs, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o_ref[dx, dy] += part
+
+
+def _wgrad(x: jnp.ndarray, g: jnp.ndarray, cout: int,
+           interpret: bool) -> jnp.ndarray:
+    """dW (Cout, Cin, 3, 3, 3) from x (B,Cin,D+2,H,W) and g (B,Cout,D,H,W)."""
+    B, cin, dext, H, W = x.shape
+    D = dext - 2
+    L = _lane_block(H, W)
+    E = (H * W) // W
+    xf = x.reshape(B, cin, dext * H * W)
+    gf = g.reshape(B, cout, D * H * W)
+
+    out = pl.pallas_call(
+        functools.partial(_wgrad_kernel, cin, cout, L, W),
+        grid=(B * D, (H * W) // L),
+        in_specs=_x_specs(cin, D, L, W, E) + [
+            pl.BlockSpec(
+                (1, cout, L),
+                lambda bd, j: (bd // D, 0, (bd % D) * ((H * W) // L) + j)),
+        ],
+        out_specs=pl.BlockSpec(
+            (3, 3, 3 * cin, cout), lambda bd, j: (0, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((3, 3, 3 * cin, cout), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((3 * cin, L + 2 * W), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(*([xf] * 9), gf)
+    # (dx, dy, z·Cin+c, Cout) → (Cout, Cin, dz, dy, dx)
+    out = out.reshape(3, 3, 3, cin, cout)
+    return jnp.transpose(out, (4, 3, 2, 1, 0))
+
+
+@jax.custom_vjp
+def conv3d_k3s1_valid_d(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray):
+    """3×3×3 stride-1 conv, VALID in D (x carries D-halos), SAME in H/W.
+
+    x: (B, Cin, D+2, H, W); w: (Cout, Cin, 3, 3, 3) OIDHW; bias: (Cout,).
+    Returns (B, Cout, D, H, W) in x.dtype. Differentiable (custom VJP with
+    Pallas dgrad/wgrad kernels)."""
+    return _conv_fwd(x, w, bias, interpret=_is_cpu())
+
+
+def _vjp_fwd(x, w, bias):
+    return conv3d_k3s1_valid_d(x, w, bias), (x, w, bias)
+
+
+def _vjp_bwd(res, g):
+    x, w, bias = res
+    cout, cin = w.shape[0], w.shape[1]
+    g = g.astype(x.dtype)
+    # dgrad: conv of g with channel-transposed, tap-flipped weights; pad g
+    # by 2 in D so the VALID output covers x's D+2 rows.
+    wT = jnp.transpose(w, (1, 0, 2, 3, 4))[:, :, ::-1, ::-1, ::-1]
+    gp = jnp.pad(g, ((0, 0), (0, 0), (2, 2), (0, 0), (0, 0)))
+    dx = _conv_fwd(gp, wT, jnp.zeros((cin,), jnp.float32),
+                   interpret=_is_cpu())
+    dw = _wgrad(x, g, cout, interpret=_is_cpu()).astype(w.dtype)
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 2, 3, 4)).astype(bias.dtype)
+    return dx, dw, db
+
+
+conv3d_k3s1_valid_d.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def conv3d_k3s1_same(x: jnp.ndarray, w: jnp.ndarray,
+                     bias: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """SAME-padded convenience wrapper (pads D by 1 zero on each side)."""
+    cout = w.shape[0]
+    if bias is None:
+        bias = jnp.zeros((cout,), jnp.float32)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0), (0, 0)))
+    return conv3d_k3s1_valid_d(xp, w, bias)

@@ -43,11 +43,85 @@ from jax import lax
 from .conv3d import group_norm_core
 
 
+import os
+
+# The Pallas implicit-GEMM kernel (ops/pallas/conv3d_k3.py) measures 2.3×
+# XLA's dense conv at the stage-3 detail shapes (27.1 vs 11.6 TF/s on v5e);
+# opt out with HVC_PALLAS_CONV=0.
+_PALLAS_CONV = os.environ.get("HVC_PALLAS_CONV", "1") != "0"
+
+
+def _pallas_conv_applicable(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
+                            d_padding: int) -> bool:
+    from .pallas.conv3d_k3 import _is_cpu, supports
+
+    k = kernel.shape[-1]
+    cin, dd, h, w = x.shape[1], x.shape[2], x.shape[3], x.shape[4]
+    return (
+        _PALLAS_CONV
+        and not _is_cpu()
+        and supports(cin, k, stride, h, w)
+        and d_padding in (0, 1)
+        and dd + 2 * d_padding >= 3
+    )
+
+
+def chain_pallas_ok(chain: Sequence[Tuple], h: int, w: int) -> bool:
+    """True when EVERY conv in the chain runs off the XLA conv op on TPU
+    (k3 s1 → Pallas implicit GEMM, k1 s1 → dot_general). Chains with any
+    XLA-only conv (e.g. stride-2 stems) must stay all-XLA: a single
+    XLA-conv↔Pallas boundary inside a slab body forces a relayout of the
+    full slab activation (~300 ms per streamed pass at 256³, measured —
+    3× the cost of the conv it accelerates)."""
+    from .pallas.conv3d_k3 import _is_cpu, supports
+
+    if not _PALLAS_CONV or _is_cpu():
+        return False
+    hh, ww = h, w
+    for op in chain:
+        if op[0] != "conv":
+            continue
+        k, stride = op[1].shape[-1], op[3]
+        if k == 1 and stride == 1:
+            continue
+        if not supports(op[1].shape[1], k, stride, hh, ww):
+            return False
+        hh, ww = hh // stride, ww // stride
+    return True
+
+
 def conv3d_ncdhw(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray],
-                 stride: int, d_padding: int, hw_padding: int, dtype=None) -> jnp.ndarray:
+                 stride: int, d_padding: int, hw_padding: int, dtype=None,
+                 allow_pallas: bool = True) -> jnp.ndarray:
     """Functional NCDHW conv (weights OIDHW); D and H/W padding separately
-    controllable so slab bodies can run VALID in D on pre-haloed slabs."""
+    controllable so slab bodies can run VALID in D on pre-haloed slabs.
+
+    k1/s1 convs lower to a channel dot_general (layout-neutral on TPU); hot
+    k3/s1 shapes route to the Pallas implicit-GEMM kernel when
+    `allow_pallas` (chain-level decision, see `chain_pallas_ok`)."""
     dtype = dtype or x.dtype
+    k = kernel.shape[-1]
+    if k == 1 and stride == 1:
+        B, C = x.shape[0], x.shape[1]
+        wmat = kernel.reshape(kernel.shape[0], kernel.shape[1]).astype(dtype)
+        out = lax.dot_general(
+            wmat, x.astype(dtype).reshape(B, C, -1),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (O, B, L)
+        out = jnp.moveaxis(out, 0, 1).reshape(
+            (B, kernel.shape[0]) + x.shape[2:]).astype(dtype)
+        if bias is not None:
+            out = out + bias.astype(out.dtype)[None, :, None, None, None]
+        return out
+    if (allow_pallas and hw_padding == 1
+            and _pallas_conv_applicable(x, kernel, stride, d_padding)):
+        from .pallas.conv3d_k3 import conv3d_k3s1_valid_d
+
+        xc = x.astype(dtype)
+        if d_padding == 1:
+            xc = jnp.pad(xc, ((0, 0), (0, 0), (1, 1), (0, 0), (0, 0)))
+        b = bias if bias is not None else jnp.zeros((kernel.shape[0],), jnp.float32)
+        return conv3d_k3s1_valid_d(xc, kernel.astype(dtype), b)
     out = lax.conv_general_dilated(
         x.astype(dtype),
         kernel.astype(dtype),
@@ -118,12 +192,14 @@ def chain_apply_dense(x: jnp.ndarray, chain: Sequence[Tuple], dtype=None) -> jnp
     from ..parallel import shard_spatial_d
 
     dtype = dtype or x.dtype
+    allow_pallas = chain_pallas_ok(chain, x.shape[3], x.shape[4])
     h = shard_spatial_d(x.astype(dtype))
     for op in chain:
         if op[0] == "conv":
             _, kernel, bias, stride = op
             k = kernel.shape[-1]
-            h = conv3d_ncdhw(h, kernel, bias, stride, d_padding=k // 2, hw_padding=k // 2, dtype=dtype)
+            h = conv3d_ncdhw(h, kernel, bias, stride, d_padding=k // 2, hw_padding=k // 2, dtype=dtype,
+                             allow_pallas=allow_pallas)
             h = shard_spatial_d(h)  # D-sharded over 'model'; GSPMD adds halos
         elif op[0] == "gn":
             _, groups, scale, bias = op
@@ -170,6 +246,34 @@ def _level_shape(chain: Sequence[Tuple], upto: int, in_shape, start: int = 0) ->
     return C, D, H, W
 
 
+def _slice_slab(src: jnp.ndarray, j, F: int, sd: int, c_lo: int, ext: int) -> jnp.ndarray:
+    """The D-extended input slab for output slab j: rows r ∈ [0, ext) hold
+    global input coord s_lo + r where s_lo = j·F·sd + c_lo.
+
+    Implemented as a CLAMPED dynamic_slice plus a coordinate-aligning roll
+    instead of slicing a zero-padded copy of `src`: a full-volume pad must
+    materialize when the chain body contains a Pallas conv (whose operand
+    layout constraint stops XLA fusing the pad away), and XLA has been seen
+    to choose a (B,C)-minor T(2,128) layout for that copy — a 256× (8 GB)
+    expansion for a 1-channel 256³ input. Rows rotated in from the wrap are
+    garbage-but-masked: their global coords fall outside [0, D_src) and every
+    conv input is zero-masked by coordinate (`_mask_outside`) first.
+    """
+    B, C = src.shape[0], src.shape[1]
+    dsrc = src.shape[2]
+    s_lo = j * (F * sd) + c_lo
+    if ext > dsrc:  # degenerate (tiny test volumes): pad for real
+        pad_lo = max(0, -c_lo)
+        xp = jnp.pad(src, ((0, 0), (0, 0), (pad_lo, ext), (0, 0), (0, 0)))
+        return lax.dynamic_slice(
+            xp, (0, 0, s_lo + pad_lo, 0, 0),
+            (B, C, ext, xp.shape[3], xp.shape[4]))
+    p = jnp.clip(s_lo, 0, dsrc - ext)
+    islab = lax.dynamic_slice(
+        src, (0, 0, p, 0, 0), (B, C, ext, src.shape[3], src.shape[4]))
+    return jnp.roll(islab, p - s_lo, axis=2)
+
+
 def _mask_outside(h: jnp.ndarray, lo, level_d: int) -> jnp.ndarray:
     """Zero D-positions whose global coordinate falls outside [0, level_d) —
     replicating dense SAME-conv semantics, where each conv zero-pads ITS OWN
@@ -182,7 +286,8 @@ def _mask_outside(h: jnp.ndarray, lo, level_d: int) -> jnp.ndarray:
 
 def _run_prefix(islab: jnp.ndarray, chain: Sequence[Tuple], upto: int,
                 stats: List[Optional[Tuple[jnp.ndarray, jnp.ndarray]]], dtype,
-                lo, level_d: int, start: int = 0) -> jnp.ndarray:
+                lo, level_d: int, start: int = 0,
+                allow_pallas: bool = True) -> jnp.ndarray:
     """Evaluate chain[start:upto] on a D-extended slab (convs VALID in D).
 
     `lo` (traced) is the global D-coordinate of the slab's first element and
@@ -197,7 +302,8 @@ def _run_prefix(islab: jnp.ndarray, chain: Sequence[Tuple], upto: int,
             _, kernel, bias, stride = op
             k = kernel.shape[-1]
             h = _mask_outside(h, lo, level_d)
-            h = conv3d_ncdhw(h, kernel, bias, stride, d_padding=0, hw_padding=k // 2, dtype=dtype)
+            h = conv3d_ncdhw(h, kernel, bias, stride, d_padding=0, hw_padding=k // 2, dtype=dtype,
+                             allow_pallas=allow_pallas)
             if k == 3:
                 lo = lo + 1  # first VALID output coord (= window center for s2)
             if stride == 2:
@@ -220,6 +326,7 @@ def chain_apply_slab(x: jnp.ndarray, chain: Sequence[Tuple], num_slabs: int = 8,
     dtype = dtype or x.dtype
     x = x.astype(dtype)
     B = x.shape[0]
+    allow_pallas = chain_pallas_ok(chain, x.shape[3], x.shape[4])
     gn_positions = [i for i, op in enumerate(chain) if op[0] == "gn"]
 
     def run_pass(upto: Optional[int], stats: List) -> Any:
@@ -234,19 +341,16 @@ def chain_apply_slab(x: jnp.ndarray, chain: Sequence[Tuple], num_slabs: int = 8,
         sd = D_out // n
         F, c_lo, c_hi = _walk_back(chain, end)
         ext = F * sd + (c_hi - c_lo)
-        pad_lo, pad_hi = -c_lo, max(0, F * D_out + c_hi - x.shape[2])
-        xp = jnp.pad(x, ((0, 0), (0, 0), (pad_lo, pad_hi), (0, 0), (0, 0)))
 
         if upto is not None:
             groups = chain[upto][1]
 
         @jax.checkpoint
         def body(carry, j):
-            start = j * (F * sd)  # == global in-coord F·s + c_lo, shifted by pad_lo
-            islab = lax.dynamic_slice(
-                xp, (0, 0, start, 0, 0), (B, x.shape[1], ext, xp.shape[3], xp.shape[4])
-            )
-            h = _run_prefix(islab, chain, end, stats, dtype, start + c_lo, x.shape[2])
+            islab = _slice_slab(x, j, F, sd, c_lo, ext)
+            h = _run_prefix(islab, chain, end, stats, dtype,
+                            j * (F * sd) + c_lo, x.shape[2],
+                            allow_pallas=allow_pallas)
             if upto is None:
                 return carry, h
             hr = h.reshape(B, groups, -1)
@@ -313,6 +417,7 @@ def chain_apply_streamed(x: jnp.ndarray, chain: Sequence[Tuple], num_slabs: int 
     dtype = dtype or x.dtype
     x = x.astype(dtype)
     B = x.shape[0]
+    allow_pallas = chain_pallas_ok(chain, x.shape[3], x.shape[4])
     n_ops = len(chain)
     gn_positions = [i for i, op in enumerate(chain) if op[0] == "gn"]
     boundaries = gn_positions + [n_ops]
@@ -335,19 +440,15 @@ def chain_apply_streamed(x: jnp.ndarray, chain: Sequence[Tuple], num_slabs: int 
         sd = D_out // n
         F, c_lo, c_hi = _walk_back(chain, end, start=src_idx)
         ext = F * sd + (c_hi - c_lo)
-        pad_lo, pad_hi = -c_lo, max(0, F * D_out + c_hi - src.shape[2])
-        xp = jnp.pad(src, ((0, 0), (0, 0), (pad_lo, pad_hi), (0, 0), (0, 0)))
 
         groups = chain[end][1] if want_stats else 1
 
         @jax.checkpoint
         def body(carry, j):
-            start = j * (F * sd)
-            islab = lax.dynamic_slice(
-                xp, (0, 0, start, 0, 0), (B, src.shape[1], ext, xp.shape[3], xp.shape[4])
-            )
-            h = _run_prefix(islab, chain, end, seg_stats, dtype, start + c_lo,
-                            src.shape[2], start=src_idx)
+            islab = _slice_slab(src, j, F, sd, c_lo, ext)
+            h = _run_prefix(islab, chain, end, seg_stats, dtype,
+                            j * (F * sd) + c_lo, src.shape[2], start=src_idx,
+                            allow_pallas=allow_pallas)
             if want_stats:
                 hr = h.reshape(B, groups, -1)
                 carry = (
