@@ -66,14 +66,30 @@ def _pallas_conv_applicable(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
     )
 
 
+def _pallas_s2_applicable(x: jnp.ndarray, kernel: jnp.ndarray,
+                          d_padding: int) -> bool:
+    from .pallas.conv3d_k3s2 import _is_cpu, supports_s2
+
+    k = kernel.shape[-1]
+    cin, dd, h, w = x.shape[1], x.shape[2], x.shape[3], x.shape[4]
+    if not (_PALLAS_CONV and not _is_cpu() and supports_s2(cin, k, 2, h, w)):
+        return False
+    if d_padding == 0:  # VALID: kernel contract needs 2·D'+1 input planes
+        return dd % 2 == 1 and dd >= 3
+    if d_padding == 1:  # SAME: one front pad plane makes it 2·(dd/2)+1
+        return dd % 2 == 0 and dd >= 2
+    return False
+
+
 def chain_pallas_ok(chain: Sequence[Tuple], h: int, w: int) -> bool:
-    """True when EVERY conv in the chain runs off the XLA conv op on TPU
-    (k3 s1 → Pallas implicit GEMM, k1 s1 → dot_general). Chains with any
-    XLA-only conv (e.g. stride-2 stems) must stay all-XLA: a single
-    XLA-conv↔Pallas boundary inside a slab body forces a relayout of the
-    full slab activation (~300 ms per streamed pass at 256³, measured —
-    3× the cost of the conv it accelerates)."""
+    """True when EVERY conv in the chain (segment) runs off the XLA conv op
+    on TPU (k3 s1 → Pallas implicit GEMM, k3 s2 → Pallas stride-2 kernel,
+    k1 s1 → dot_general). Segments with any XLA-only conv must stay
+    all-XLA: a single XLA-conv↔Pallas boundary inside a slab body forces a
+    relayout of the full slab activation (~300 ms per streamed pass at
+    256³, measured — 3× the cost of the conv it accelerates)."""
     from .pallas.conv3d_k3 import _is_cpu, supports
+    from .pallas.conv3d_k3s2 import supports_s2
 
     if not _PALLAS_CONV or _is_cpu():
         return False
@@ -84,7 +100,10 @@ def chain_pallas_ok(chain: Sequence[Tuple], h: int, w: int) -> bool:
         k, stride = op[1].shape[-1], op[3]
         if k == 1 and stride == 1:
             continue
-        if not supports(op[1].shape[1], k, stride, hh, ww):
+        if stride == 2:
+            if not supports_s2(op[1].shape[1], k, stride, hh, ww):
+                return False
+        elif not supports(op[1].shape[1], k, stride, hh, ww):
             return False
         hh, ww = hh // stride, ww // stride
     return True
@@ -122,6 +141,15 @@ def conv3d_ncdhw(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray
             xc = jnp.pad(xc, ((0, 0), (0, 0), (1, 1), (0, 0), (0, 0)))
         b = bias if bias is not None else jnp.zeros((kernel.shape[0],), jnp.float32)
         return conv3d_k3s1_valid_d(xc, kernel.astype(dtype), b)
+    if (allow_pallas and hw_padding == 1 and stride == 2
+            and _pallas_s2_applicable(x, kernel, d_padding)):
+        from .pallas.conv3d_k3s2 import conv3d_k3s2_valid_d
+
+        xc = x.astype(dtype)
+        if d_padding == 1:
+            xc = jnp.pad(xc, ((0, 0), (0, 0), (1, 0), (0, 0), (0, 0)))
+        b = bias if bias is not None else jnp.zeros((kernel.shape[0],), jnp.float32)
+        return conv3d_k3s2_valid_d(xc, kernel.astype(dtype), b)
     out = lax.conv_general_dilated(
         x.astype(dtype),
         kernel.astype(dtype),
@@ -326,13 +354,13 @@ def chain_apply_slab(x: jnp.ndarray, chain: Sequence[Tuple], num_slabs: int = 8,
     dtype = dtype or x.dtype
     x = x.astype(dtype)
     B = x.shape[0]
-    allow_pallas = chain_pallas_ok(chain, x.shape[3], x.shape[4])
     gn_positions = [i for i, op in enumerate(chain) if op[0] == "gn"]
 
     def run_pass(upto: Optional[int], stats: List) -> Any:
         """upto=index of a gn op → accumulate its (sum, sumsq); upto=None →
         emit the chain output."""
         end = len(chain) if upto is None else upto
+        allow_pallas = chain_pallas_ok(chain[:end], x.shape[3], x.shape[4])
         C_out, D_out, H_out, W_out = _level_shape(chain, end, x.shape)
         n = num_slabs
         while D_out % n:
@@ -417,7 +445,6 @@ def chain_apply_streamed(x: jnp.ndarray, chain: Sequence[Tuple], num_slabs: int 
     dtype = dtype or x.dtype
     x = x.astype(dtype)
     B = x.shape[0]
-    allow_pallas = chain_pallas_ok(chain, x.shape[3], x.shape[4])
     n_ops = len(chain)
     gn_positions = [i for i, op in enumerate(chain) if op[0] == "gn"]
     boundaries = gn_positions + [n_ops]
@@ -432,6 +459,8 @@ def chain_apply_streamed(x: jnp.ndarray, chain: Sequence[Tuple], num_slabs: int 
         """Run chain[src_idx:end] slab-streamed over `src`. Returns
         (endpoint | None, (mean, inv) | None)."""
         seg_stats = [stats_by_pos[p] for p in gn_positions if src_idx <= p < end]
+        allow_pallas = chain_pallas_ok(chain[src_idx:end],
+                                       src.shape[3], src.shape[4])
         C_out, D_out, H_out, W_out = _level_shape(chain, end, src.shape, start=src_idx)
         n = num_slabs
         while D_out % n:
