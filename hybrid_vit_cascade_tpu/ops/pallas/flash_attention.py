@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -49,6 +50,22 @@ DEFAULT_BLOCK_KV = 2048
 # (1024, 1024) is the largest VMEM-feasible backward tile.
 BWD_BLOCK_Q = 1024
 BWD_BLOCK_KV = 1024
+# Fused backward (round 4): ONE kernel produces dq/dk/dv per (kv, q) block
+# pair, so the score recompute s=qkᵀ, the probability exp2, and the dp=do·vᵀ
+# matmul run once instead of twice (the split dq / dkv kernels redo all
+# three): 7 → 5 MXU passes and 2 → 1 exp/ds VPU passes over the score
+# volume. dq is emitted as per-kv-block partials summed by XLA outside the
+# kernel (the splash-attention fused-backward pattern — unique output block
+# per grid step, no read-modify-write hazards); dk/dv accumulate in VMEM
+# scratch across the inner q sweep. Opt out with HVC_FLASH_FUSED_BWD=0.
+FUSED_BWD = os.environ.get("HVC_FLASH_FUSED_BWD", "1") != "0"
+# Larger kv blocks shrink the dq-partials residency (nk/block_kv copies of
+# dq): (1024, 2048) keeps the fp32 temporaries (s/p, dp, ds) at 24 MB —
+# within the raised vmem_limit_bytes below — and the partials at 2 copies
+# per 4096 kv (hot cross-attn) / 16 per 32768 (hot self-attn, ~2.1 GB).
+BWD_FUSED_BLOCK_Q = 1024
+BWD_FUSED_BLOCK_KV = 2048
+BWD_FUSED_VMEM_LIMIT = 100 * 1024 * 1024
 LANE = 128
 NEG_INF = -1e30
 # Base-2 softmax: log2(e) is folded into the q pre-scale, so the kernels run
@@ -292,6 +309,109 @@ def _bwd_pallas(qp, kp, vp, outp, lse, gp, kv_len, block_q, block_kv, interpret)
     return dq, dk, dv
 
 
+def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, stats_ref, dq_ref, dk_ref,
+                      dv_ref, dk_scr, dv_scr, *, kv_len, block_kv, mask_kv):
+    """dq/dk/dv from ONE pass over the (kv, q) block grid (qi innermost).
+
+    s, p, and dp are computed once per block pair (the split kernels compute
+    each twice). dk/dv accumulate in VMEM scratch across the q sweep and
+    flush when the kv block retires; dq has no safe in-kernel accumulator
+    across the OUTER kv dim, so each step writes its (bq, d) partial to a
+    per-kv-block output slot — XLA reduces the nkb copies outside.
+
+    Padded q rows carry lse=+inf → p = 0, padded kv columns are masked to
+    -inf when `mask_kv` → p = ds = 0, so no padding contributes to any grad.
+    """
+    qi = pl.program_id(2)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = stats_ref[0][:, 0:1]
+    delta = stats_ref[0][:, 1:2]
+
+    s = lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    if mask_kv:
+        col = pl.program_id(1) * block_kv + lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, NEG_INF)
+    p = jnp.exp2(s - lse)  # (bq, bkv); base-2 lse
+    pb = p.astype(do.dtype)
+    dv_c = lax.dot_general(
+        pb, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bkv, d)
+    dp = lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)
+    dsb = ds.astype(q.dtype)
+    dk_c = lax.dot_general(
+        dsb, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bkv, d)
+    dq_ref[0, 0] = lax.dot_general(
+        dsb, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dq_ref.dtype)  # (bq, d) partial — unique output slot per step
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[:] = dk_c
+        dv_scr[:] = dv_c
+
+    @pl.when(qi != 0)
+    def _acc():
+        dk_scr[:] = dk_scr[:] + dk_c
+        dv_scr[:] = dv_scr[:] + dv_c
+
+    @pl.when(qi == pl.num_programs(2) - 1)
+    def _finish():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _bwd_pallas_fused(qp, kp, vp, outp, lse, gp, kv_len, block_q, block_kv,
+                      interpret):
+    """Fused backward dispatch: grid (BH, kv_blocks, q_blocks), dq summed
+    from per-kv-block partials (fp32, (nkb, BH, nq, d) — ~2.1 GB at the
+    stage-3 hot shape with 2048-kv blocks, freed right after the sum)."""
+    BH, nq, d = qp.shape
+    nk = kp.shape[1]
+    delta = jnp.sum(gp.astype(jnp.float32) * outp.astype(jnp.float32), axis=-1)  # (BH, nq)
+    stats = jnp.stack([lse, delta], axis=-1)  # (BH, nq, 2)
+
+    nkb = nk // block_kv
+    grid = (BH, nkb, nq // block_q)
+    dq_partials, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_fused_kernel, kv_len=kv_len, block_kv=block_kv,
+                          mask_kv=(nk != kv_len)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, ki, qi: (b, qi, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, ki, qi: (b, qi, 0)),
+            pl.BlockSpec((1, block_q, 2), lambda b, ki, qi: (b, qi, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b, ki, qi: (ki, b, qi, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda b, ki, qi: (b, ki, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nkb, BH, nq, d), jnp.float32),
+            jax.ShapeDtypeStruct((BH, nk, d), jnp.float32),
+            jax.ShapeDtypeStruct((BH, nk, d), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_kv, d), jnp.float32),
+            pltpu.VMEM((block_kv, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=BWD_FUSED_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, gp, stats)
+    return jnp.sum(dq_partials, axis=0), dk, dv
+
+
 def _bwd_blockwise(q, k, v, out, lse, do, scale, kv_len, block_q, block_kv):
     """Blockwise-recompute backward in jnp (shapes: (BH, N, d), lse (BH, Nq)).
 
@@ -416,10 +536,16 @@ def _flash_core_bwd(scale, block_q, block_kv, res, g):
     gp = jnp.pad(g, ((0, 0), (0, nq_pad - nq), (0, d_pad - d)))
     # clamp to the backward's VMEM-feasible tile; padded lengths stay
     # divisible because fwd blocks are power-of-two multiples of these
-    bqb = min(bq, BWD_BLOCK_Q)
-    bkvb = min(bkv, BWD_BLOCK_KV)
-    dq, dk, dv = _bwd_pallas(qp, kp, vp, outp, lsep, gp, kv_len, bqb, bkvb,
-                             interpret=_is_cpu())
+    if FUSED_BWD:
+        bqb = min(bq, BWD_FUSED_BLOCK_Q)
+        bkvb = min(bkv, BWD_FUSED_BLOCK_KV)
+        dq, dk, dv = _bwd_pallas_fused(qp, kp, vp, outp, lsep, gp, kv_len,
+                                       bqb, bkvb, interpret=_is_cpu())
+    else:
+        bqb = min(bq, BWD_BLOCK_Q)
+        bkvb = min(bkv, BWD_BLOCK_KV)
+        dq, dk, dv = _bwd_pallas(qp, kp, vp, outp, lsep, gp, kv_len, bqb, bkvb,
+                                 interpret=_is_cpu())
     # base-2 chain rule: dL/dq = scale·log2e·ln2·(ds@k) = scale·kernel_dq;
     # dL/dk = ln2·(dsᵀ@q_scaled) since only q absorbed log2e
     if scale != 1.0:

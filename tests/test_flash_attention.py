@@ -89,6 +89,46 @@ class TestFlashAttention:
                 np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5, err_msg=name
             )
 
+    def test_fused_bwd_matches_split_kernels(self, rng):
+        """The fused (single-pass) backward vs the split dq/dkv kernels on
+        identical padded residuals, including padded q rows (nq=72 → 96 with
+        lse=+inf sentinels) and masked kv columns (nk=90 → 96)."""
+        from hybrid_vit_cascade_tpu.ops.pallas.flash_attention import (
+            _bwd_pallas,
+            _bwd_pallas_fused,
+            _flash_fwd_core,
+        )
+
+        q, k, v = _qkv(rng, nq=72, nk=90, d=32)
+        qf, kf, vf = (x.reshape(2, *x.shape[2:]) for x in (q, k, v))
+        out, (qp, kp, vp, outp, lse, bq, bkv, kv_len) = _flash_fwd_core(
+            qf * jnp.asarray(32 ** -0.5), kf, vf, 1.0, 32, 32
+        )
+        nq_pad, nk_pad = 96, 96
+        qpad = jnp.pad(qp, ((0, 0), (0, nq_pad - qp.shape[1]), (0, 0)))
+        kpad = jnp.pad(kp, ((0, 0), (0, nk_pad - kp.shape[1]), (0, 0)))
+        vpad = jnp.pad(vp, ((0, 0), (0, nk_pad - vp.shape[1]), (0, 0)))
+        opad = jnp.pad(outp, ((0, 0), (0, nq_pad - outp.shape[1]), (0, 0)))
+        lsep = jnp.pad(lse, ((0, 0), (0, nq_pad - lse.shape[1])), constant_values=1e30)
+        do = jnp.asarray(np.random.default_rng(1).standard_normal(opad.shape), jnp.float32)
+        want = _bwd_pallas(qpad, kpad, vpad, opad, lsep, do, kv_len, bq, bkv,
+                           interpret=True)
+        got = _bwd_pallas_fused(qpad, kpad, vpad, opad, lsep, do, kv_len, bq, bkv,
+                                interpret=True)
+        # The caller slices grads back to (nq, d)/(nk, d), so only the valid
+        # region is contractual (the split dkv kernel writes junk into the
+        # padded kv rows; the fused one zeroes them).
+        valid = (72, kv_len, kv_len)
+        for a, b, n, name in zip(got, want, valid, ("dq", "dk", "dv")):
+            np.testing.assert_allclose(
+                np.asarray(a)[:, :n], np.asarray(b)[:, :n],
+                rtol=1e-5, atol=1e-5, err_msg=name,
+            )
+        # Stronger property of the fused kernel: padded kv rows carry exactly
+        # zero gradient.
+        np.testing.assert_array_equal(np.asarray(got[1])[:, kv_len:], 0.0)
+        np.testing.assert_array_equal(np.asarray(got[2])[:, kv_len:], 0.0)
+
     def test_bf16_inputs(self, rng):
         q, k, v = _qkv(rng, nq=64, nk=64, d=32)
         out = flash_attention(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16))
