@@ -39,6 +39,7 @@ class DataLoader:
         num_prefetch: int = 2,
         process_count: Optional[int] = None,
         process_index: Optional[int] = None,
+        transform=None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -46,6 +47,10 @@ class DataLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.num_prefetch = num_prefetch
+        # host-side batch map (e.g. pre-resizing CT targets to the stage
+        # resolution so stage-1 never ships 256³ over the host↔device link);
+        # runs inside the prefetch thread, overlapping device compute
+        self.transform = transform
         self.process_count = process_count if process_count is not None else jax.process_count()
         self.process_index = process_index if process_index is not None else jax.process_index()
         self.epoch = 0
@@ -89,7 +94,8 @@ class DataLoader:
             chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
             if len(chunk) == 0:
                 break
-            yield self._collate([self.dataset[int(i)] for i in chunk])
+            batch = self._collate([self.dataset[int(i)] for i in chunk])
+            yield self.transform(batch) if self.transform is not None else batch
 
     def __iter__(self) -> Iterator[Dict]:
         if self.num_prefetch <= 0:

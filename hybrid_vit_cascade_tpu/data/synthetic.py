@@ -16,17 +16,7 @@ from typing import Dict, Tuple
 
 import numpy as np
 
-from ..ops.resize import _linear_resize_matrix
-
-
-def _np_resize_trilinear(vol: np.ndarray, out_dhw: Tuple[int, int, int], align_corners=False) -> np.ndarray:
-    out = vol
-    for axis, size in zip((-3, -2, -1), out_dhw):
-        ax = axis % out.ndim
-        if out.shape[ax] != size:
-            mat = _linear_resize_matrix(out.shape[ax], size, align_corners)
-            out = np.moveaxis(np.tensordot(out, mat, axes=[[ax], [1]]), -1, ax)
-    return out.astype(np.float32)
+from ..ops.resize import resize_trilinear_np as _np_resize_trilinear
 
 
 def make_phantom_volume(size: int = 64, seed: int = 0) -> np.ndarray:

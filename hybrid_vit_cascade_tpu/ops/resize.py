@@ -99,6 +99,22 @@ def resize_trilinear(x: jnp.ndarray, out_dhw: Sequence[int], align_corners: bool
     return resize_linear(x, out_dhw, axes=(-3, -2, -1), align_corners=align_corners)
 
 
+def resize_trilinear_np(vol: np.ndarray, out_dhw: Sequence[int],
+                        align_corners: bool = False) -> np.ndarray:
+    """Host-side (numpy) trilinear resize of the three trailing axes, using
+    the SAME interpolation matrices as the device path — the training input
+    pipeline pre-resizes CT targets to each cascade stage's resolution on the
+    host so a 64³ stage never ships the full 256³ volume over the (slow)
+    host↔device link (the on-device `resize_target` then short-circuits)."""
+    out = vol
+    for axis, size in zip((-3, -2, -1), out_dhw):
+        ax = axis % out.ndim
+        if out.shape[ax] != int(size):
+            mat = _linear_resize_matrix(out.shape[ax], int(size), align_corners)
+            out = np.moveaxis(np.tensordot(out, mat, axes=[[ax], [1]]), -1, ax)
+    return np.ascontiguousarray(out, dtype=np.float32)
+
+
 def upsample_nearest(x: jnp.ndarray, out_sizes: Sequence[int], axes: Sequence[int]) -> jnp.ndarray:
     """Nearest-neighbour resize along `axes` (torch 'nearest' convention)."""
     out = x

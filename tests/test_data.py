@@ -80,6 +80,34 @@ class TestLoader:
         assert set(ids_e0) == set(ids_e1)
         assert ids_e0 != ids_e1  # epoch reshuffle
 
+    def test_loader_transform_runs_in_prefetch(self):
+        """The transform hook maps every batch (prefetching and not), e.g.
+        the trainer's host-side stage-resolution pre-resize."""
+        from hybrid_vit_cascade_tpu.training.trainer import host_target_transform
+
+        ds = data.SyntheticCTDataset(num_patients=4, volume_size=(16, 16, 16), xray_size=16)
+        tf = host_target_transform((8, 8, 8), cache=True)
+        for prefetch in (0, 2):
+            dl = data.DataLoader(ds, batch_size=2, shuffle=False, num_prefetch=prefetch,
+                                 process_count=1, process_index=0, transform=tf)
+            batches = list(dl)
+            assert all(b["ct_volume"].shape == (2, 1, 8, 8, 8) for b in batches)
+            # X-rays untouched
+            assert batches[0]["drr_stacked"].shape[-1] == 16
+
+    def test_host_resize_matches_device_resize(self):
+        """resize_trilinear_np (host pre-resize) must agree with the on-device
+        resize_target path it replaces — same interpolation matrices."""
+        import jax.numpy as jnp
+
+        from hybrid_vit_cascade_tpu.ops.resize import resize_trilinear, resize_trilinear_np
+
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((2, 1, 12, 10, 8)).astype(np.float32)
+        host = resize_trilinear_np(x, (6, 5, 4))
+        dev = np.asarray(resize_trilinear(jnp.asarray(x), (6, 5, 4), align_corners=False))
+        np.testing.assert_allclose(host, dev, rtol=1e-5, atol=1e-6)
+
     def test_process_sharding_partitions(self):
         ds = data.SyntheticCTDataset(num_patients=8, volume_size=(8, 8, 8), xray_size=16)
         seen = []
