@@ -120,6 +120,14 @@ def main():
                 extra[key] = round(bench_train_stage(stage, batch), 4)
             except Exception as e:  # keep the headline metric robust
                 extra[key] = f"error: {type(e).__name__}"
+        # Apples-to-apples ratio: OUR 256³ stage-3 training throughput over
+        # the reference's only recorded 256³ training throughput (B200).
+        # The headline vs_baseline above mixes inference/training (documented
+        # in the module docstring) — this one is same-task, same-stage.
+        s3 = extra.get("train_stage3_256_b1_steps_per_sec")
+        if isinstance(s3, float):
+            extra["train_stage3_vs_reference_b200"] = round(
+                s3 / REFERENCE_SAMPLES_PER_SEC, 2)
 
     print(json.dumps({
         "metric": "cascade256_inference_volumes_per_sec_per_chip",
