@@ -88,7 +88,11 @@ def bench_train_stage(stage: int, batch: int, n_iters: int = 3) -> float:
         "drr_stacked": jnp.zeros((batch, 2, 1, 512, 512), jnp.float32),
         "ct_volume": jnp.zeros((batch, 1, 256, 256, 256), jnp.float32),
     }
-    step = make_train_step(model, loss_fn, {"max_stage": stage})
+    # stop_grad_stage1: matches Trainer.fit_cascade's refine-stage steps —
+    # stage 1 is frozen during stages 2/3, so its backward is pruned (the
+    # reference's requires_grad=False freeze semantics)
+    step = make_train_step(model, loss_fn,
+                           {"max_stage": stage, "stop_grad_stage1": True})
     rng = jax.random.PRNGKey(0)
     state, m = step(state, batch_data, rng)  # compile + warm-up
     _sync(m["total_loss"])

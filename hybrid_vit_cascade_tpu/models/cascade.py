@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops.resize import resize_trilinear
@@ -378,7 +379,16 @@ class ProgressiveCascadeModel(nn.Module):
         return_intermediate: bool = False,
         max_stage: int = 3,
         train: bool = False,
+        stop_grad_stage1: bool = False,
     ):
+        """stop_grad_stage1: cut the backward at stage-1's output volume.
+        During stage-2/3 training every stage-1 parameter (including its
+        private encoder copy) is frozen, and xrays carry no gradient — the
+        reference's requires_grad=False freeze therefore prunes the entire
+        stage-1 backward (train_progressive_1gpu.py:229-231); optax masking
+        alone would compute those gradients and discard them. Trainable-param
+        gradients are mathematically unaffected (no trainable parameter lies
+        upstream of vol64): asserted by tests/test_training.py."""
         outputs = {}
         # One cascade-level encoder instance, called once per refine stage —
         # repeated calls of the same linen submodule share parameters.
@@ -397,6 +407,8 @@ class ProgressiveCascadeModel(nn.Module):
             store_attention=self.store_attention,
             name="stage1",
         )(xrays, train=train)
+        if stop_grad_stage1 and max_stage >= 2:
+            vol64 = jax.lax.stop_gradient(vol64)
         outputs["stage1"] = _nchw3d(vol64)
 
         if max_stage >= 2:

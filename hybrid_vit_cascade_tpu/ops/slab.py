@@ -189,6 +189,21 @@ def _stats_from_sums(s1: jnp.ndarray, s2: jnp.ndarray, count) -> Tuple[jnp.ndarr
     return mean, lax.rsqrt(var + 1e-5)
 
 
+def _group_sums(h: jnp.ndarray, groups: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-(B, group) (sum, sum-of-squares) of an NCDHW slab, fp32.
+
+    Reduces over the spatial axes FIRST (layout-native on TPU, where conv
+    activations are channel-minor) and only then folds channels into groups —
+    `h.reshape(B, groups, -1)` would merge channel-subgroups with spatial
+    dims, forcing a physical relayout of the whole slab per stats step."""
+    B = h.shape[0]
+    hf = h.astype(jnp.float32)
+    cs1 = jnp.sum(hf, axis=(2, 3, 4))              # (B, C)
+    cs2 = jnp.sum(lax.square(hf), axis=(2, 3, 4))  # (B, C)
+    return (cs1.reshape(B, groups, -1).sum(-1),
+            cs2.reshape(B, groups, -1).sum(-1))
+
+
 def chain_arrays(chain: Sequence[Tuple]) -> List[jnp.ndarray]:
     """The traced array leaves of a chain spec (kernels/biases/scales), in
     order — chain specs mix static fields (strides, group counts, act names)
@@ -381,10 +396,8 @@ def chain_apply_slab(x: jnp.ndarray, chain: Sequence[Tuple], num_slabs: int = 8,
                             allow_pallas=allow_pallas)
             if upto is None:
                 return carry, h
-            hr = h.reshape(B, groups, -1)
-            s1 = carry[0] + jnp.sum(hr.astype(jnp.float32), axis=-1)
-            s2 = carry[1] + jnp.sum(lax.square(hr.astype(jnp.float32)), axis=-1)
-            return (s1, s2), None
+            g1, g2 = _group_sums(h, groups)
+            return (carry[0] + g1, carry[1] + g2), None
 
         if upto is None:
             _, ys = lax.scan(body, 0, jnp.arange(n))
@@ -479,11 +492,8 @@ def chain_apply_streamed(x: jnp.ndarray, chain: Sequence[Tuple], num_slabs: int 
                             j * (F * sd) + c_lo, src.shape[2], start=src_idx,
                             allow_pallas=allow_pallas)
             if want_stats:
-                hr = h.reshape(B, groups, -1)
-                carry = (
-                    carry[0] + jnp.sum(hr.astype(jnp.float32), axis=-1),
-                    carry[1] + jnp.sum(lax.square(hr.astype(jnp.float32)), axis=-1),
-                )
+                g1, g2 = _group_sums(h, groups)
+                carry = (carry[0] + g1, carry[1] + g2)
             return carry, (h if emit else None)
 
         init = (jnp.zeros((B, groups), jnp.float32),) * 2 if want_stats else 0

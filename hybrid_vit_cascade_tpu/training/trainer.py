@@ -493,7 +493,11 @@ class Trainer:
                 return loss_obj(pred, target, stage=_n, input_xrays=xr)
 
             mkw = {"max_stage": n}
-            train_step = make_train_step(self.model, loss_fn, mkw)
+            # Refine stages: prune the (fully frozen) stage-1 backward, as the
+            # reference's requires_grad=False freeze does — see
+            # ProgressiveCascadeModel.stop_grad_stage1.
+            train_step = make_train_step(
+                self.model, loss_fn, {**mkw, "stop_grad_stage1": n >= 2})
             eval_step = make_eval_step(self.model, lambda b, _res=resolution: resize_target(b["ct_volume"], _res), mkw)
             self.ckpt_stage = stage_ckpt
             last = self._run_epochs(

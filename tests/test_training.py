@@ -67,6 +67,41 @@ class TestFreezing:
         assert float(jnp.abs(updates["stage1"]["w"]).max()) == 0.0
         assert float(jnp.abs(updates["stage2"]["w"]).max()) > 0.0
 
+    def test_stop_grad_stage1_trainable_grads_unchanged(self):
+        """stop_grad_stage1 prunes the frozen stage-1 backward (the
+        reference's requires_grad=False semantics) WITHOUT touching the
+        gradients of anything trainable at max_stage>=2: stage-N subtrees and
+        the cascade-level encoder grads are the same math (only XLA fusion
+        order may differ — tight tolerance), while stage-1 grads become
+        exactly zero."""
+        from hybrid_vit_cascade_tpu.models import ProgressiveCascadeModel
+
+        model = ProgressiveCascadeModel(
+            stage_sizes=(8, 16, 32), voxel_dim=32, stage_depths=(1, 1, 1),
+            stage_heads=(4, 4, 4), xray_feature_dim=32, attn_impl="xla",
+        )
+        xrays = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 1, 32, 32))
+        target = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 16, 1)) * 0.3
+        variables = jax.jit(lambda x: model.init(jax.random.PRNGKey(2), x, max_stage=2))(xrays)
+
+        bs = variables.get("batch_stats", {})
+
+        def loss(params, sg):
+            pred = model.apply({"params": params, "batch_stats": bs}, xrays,
+                               max_stage=2, stop_grad_stage1=sg)
+            return jnp.mean((pred - target) ** 2)
+
+        g_off = jax.jit(jax.grad(lambda p: loss(p, False)))(variables["params"])
+        g_on = jax.jit(jax.grad(lambda p: loss(p, True)))(variables["params"])
+        for sub in ("stage2", "xray_encoder"):
+            jax.tree.map(
+                lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7),
+                g_off[sub], g_on[sub])
+        leaves = jax.tree.leaves(g_on["stage1"])
+        assert all(float(jnp.abs(l).max()) == 0.0 for l in leaves)
+        # ...and without the flag stage-1 gradients were actually nonzero
+        assert any(float(jnp.abs(l).max()) > 0.0 for l in jax.tree.leaves(g_off["stage1"]))
+
 
 class TestCheckpointing:
     def _tree(self, scale=1.0):
