@@ -10,6 +10,16 @@ VX), while a VMEM-resident formulation of the same contraction sustains
 issues, per (dx, dy) tap column, one dz-PAIR dot (K=2·Cin, the z0/z1 taps)
 plus one dz=2 single dot (K=Cin).
 
+SMALL-CIN VARIANT (cin ≤ 4, the chains' 1→64 / 1→32 stems): the per-tap-column
+dots have K = 2·cin / cin there — too thin for the MXU, so Mosaic lowers them
+to VPU-speed work (a 58-GFLOP 1→64 conv at 256³ measured 76-79 ms, ~0.8 TF/s,
+regardless of lane-block size). `_conv_kernel_smallcin` instead stitches ALL
+27 taps into explicit K rows (dz/dy via aligned scratch slices, dx via one
+masked lane-roll per tap triple — cheap at 27·cin rows) and issues ONE
+(Cout, 27·Cin)@(27·Cin, L) dot per block. Measured: detail-enhancer chain
+fwd 163.6 → 114.2 ms, fwd+bwd 605 → 501 ms (the conv appears 4× per train
+step across streamed passes and their backward recomputes).
+
 Key layout decisions (all load/shift costs measured or bounded):
   * Operand layout (B, C, D, H·W): lanes = flattened H·W so a dy (=±1 row)
     shift is an ALIGNED lane-window slice (offset W) and dz shifts are row
@@ -36,6 +46,7 @@ Runs interpreted on CPU (tests), compiled on TPU.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -67,13 +78,29 @@ def supports(cin: int, k: int, stride: int, h: int, w: int) -> bool:
     )
 
 
-def _lane_block(h: int, w: int) -> int:
+def _lane_block(h: int, w: int, cin: int, cout: int) -> int:
     """Lanes per grid step: a multiple of W (so dy shifts stay aligned) that
-    divides H·W; 8 rows ≈ 2048 lanes at W=256 (the probe's swept optimum)."""
-    rows = 8
-    while h % rows:
-        rows //= 2
-    return w * max(rows, 1)
+    divides H·W, sized by a VMEM budget.
+
+    Per lane the kernel holds ≈ 18·cin + 8·cout bytes (stitched bf16 scratch
+    + double-buffered main input blocks + f32 accumulator and tap partial).
+    For fat shapes (cin=64) the budget lands on 8–16 rows — 8 was the probe's
+    swept optimum. Small-cin convs (the chains' 1→64 / 1→32 stems) are
+    DMA-ISSUE-bound at that size: 8 rows at cin=1 over a 256³ volume is a
+    (256, 32) grid × 9 input DMAs ≈ 74k tiny DMA issues, measured 79 ms for
+    a 58-GFLOP conv. Growing the block until the VMEM budget binds cuts the
+    issue count by the same factor. HVC_CONV_ROWS forces a row count (perf
+    sweeps)."""
+    forced = os.environ.get("HVC_CONV_ROWS")
+    if forced:
+        rows = int(forced)
+    else:
+        budget = 6 * 1024 * 1024
+        rows = max(1, min(64, budget // ((18 * cin + 8 * cout) * w)))
+    r = 1
+    while r * 2 <= rows and h % (r * 2) == 0:
+        r *= 2
+    return w * r
 
 
 def _pack_weights(w: jnp.ndarray, dtype):
@@ -86,6 +113,67 @@ def _pack_weights(w: jnp.ndarray, dtype):
     pair = wt[:, :, :, 0:2, :].reshape(3, 3, cout, 2 * cin)
     sing = wt[:, :, :, 2, :]
     return pair, sing
+
+
+SMALLCIN_MAX = 4  # tap-K-packed kernel path for cin ≤ this (27·cin ≤ 108)
+
+
+def _pack_weights_taps(w: jnp.ndarray, dtype, k_rows: int):
+    """(Cout, Cin, 3, 3, 3) OIDHW → (Cout, k_rows) with row order
+    ((z·3 + dy)·3 + dx)·Cin + c, zero-padded to k_rows — matching the
+    tap-stitched scratch of _conv_kernel_smallcin."""
+    cout, cin = w.shape[0], w.shape[1]
+    wt = jnp.transpose(w, (0, 2, 3, 4, 1)).reshape(cout, 27 * cin).astype(dtype)
+    return jnp.pad(wt, ((0, 0), (0, k_rows - 27 * cin)))
+
+
+def _conv_kernel_smallcin(cin: int, cout: int, L: int, W: int, k_rows: int,
+                          out_dtype, *refs):
+    """Small-cin variant: ONE (Cout, 27·Cin)@(27·Cin, L) MXU dot per block.
+
+    The generic kernel's per-(dx, dy) dots have K = 2·Cin / Cin; at Cin ≤ 4
+    those contractions are too thin for the MXU and lower to VPU-speed work —
+    a 58-GFLOP 1→64 conv at 256³ measured 76-79 ms (~0.8 TF/s) regardless of
+    block size. Here all 27 taps are stitched into explicit K rows (dz/dy via
+    aligned scratch slices, dx via one masked lane-roll per row triple), so
+    the contraction depth is 27·Cin and the dot runs on the MXU."""
+    (m0, m1, m2, l0, l1, l2, r0, r1, r2, wk_ref, b_ref,
+     o_ref, s_ref, k_ref) = refs
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    mains = (m0, m1, m2)
+    lefts = (l0, l1, l2)
+    rights = (r0, r1, r2)
+    for z in range(3):
+        left = lefts[z][0, :, :]
+        right = rights[z][0, :, :]
+        zero = jnp.zeros((), left.dtype)
+        s_ref[pl.ds(z * cin, cin), 0:W] = jnp.where(j > 0, left, zero)
+        s_ref[pl.ds(z * cin, cin), W:W + L] = mains[z][0, :, :]
+        s_ref[pl.ds(z * cin, cin), W + L:] = jnp.where(j < nj - 1, right, zero)
+
+    lane = lax.broadcasted_iota(jnp.int32, (1, L), 1) % W
+    zero = jnp.zeros((), s_ref.dtype)
+    for z in range(3):
+        for dy in range(3):
+            win = s_ref[pl.ds(z * cin, cin), pl.ds(W * dy, L)]
+            base = (z * 3 + dy) * 3 * cin
+            # dx taps: input at lane p-1 / p / p+1, zero-masked at x edges
+            k_ref[pl.ds(base, cin), :] = jnp.where(
+                lane == 0, zero, jnp.roll(win, 1, axis=1))
+            k_ref[pl.ds(base + cin, cin), :] = win
+            k_ref[pl.ds(base + 2 * cin, cin), :] = jnp.where(
+                lane == W - 1, zero, jnp.roll(win, -1, axis=1))
+    if k_rows > 27 * cin:
+        k_ref[pl.ds(27 * cin, k_rows - 27 * cin), :] = jnp.zeros(
+            (k_rows - 27 * cin, L), s_ref.dtype)
+
+    acc = lax.dot_general(
+        wk_ref[...], k_ref[...],
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    acc += b_ref[:, :].astype(jnp.float32)
+    o_ref[0, :, :] = acc.astype(out_dtype)
 
 
 def _conv_kernel(cin: int, cout: int, L: int, W: int, out_dtype,
@@ -165,12 +253,35 @@ def _conv_fwd(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray,
     B, cin, dext, H, W = x.shape
     cout = w.shape[0]
     D = dext - 2
-    L = _lane_block(H, W)
+    L = _lane_block(H, W, cin, cout)
     E = (H * W) // W
     xf = x.reshape(B, cin, dext * H * W)
-    wp, ws = _pack_weights(w, x.dtype)
     b2 = bias.astype(jnp.float32).reshape(cout, 1)
 
+    if cin <= SMALLCIN_MAX:
+        k_rows = 27 * cin
+        wk = _pack_weights_taps(w, x.dtype, k_rows)
+        out = pl.pallas_call(
+            functools.partial(_conv_kernel_smallcin, cin, cout, L, W, k_rows,
+                              x.dtype),
+            grid=(B * D, (H * W) // L),
+            in_specs=_x_specs(cin, D, L, W, E) + [
+                pl.BlockSpec((cout, k_rows), lambda bd, j: (0, 0)),
+                pl.BlockSpec((cout, 1), lambda bd, j: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, cout, L),
+                lambda bd, j: (bd // D, 0, (bd % D) * ((H * W) // L) + j)),
+            out_shape=jax.ShapeDtypeStruct((B, cout, D * H * W), x.dtype),
+            scratch_shapes=[pltpu.VMEM((3 * cin, L + 2 * W), x.dtype),
+                            pltpu.VMEM((k_rows, L), x.dtype)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "parallel")),
+            interpret=interpret,
+        )(*([xf] * 9), wk, b2)
+        return out.reshape(B, cout, D, H, W)
+
+    wp, ws = _pack_weights(w, x.dtype)
     out = pl.pallas_call(
         functools.partial(_conv_kernel, cin, cout, L, W, x.dtype),
         grid=(B * D, (H * W) // L),
@@ -240,7 +351,7 @@ def _wgrad(x: jnp.ndarray, g: jnp.ndarray, cout: int,
     """dW (Cout, Cin, 3, 3, 3) from x (B,Cin,D+2,H,W) and g (B,Cout,D,H,W)."""
     B, cin, dext, H, W = x.shape
     D = dext - 2
-    L = _lane_block(H, W)
+    L = _lane_block(H, W, cin, cout)
     E = (H * W) // W
     xf = x.reshape(B, cin, dext * H * W)
     gf = g.reshape(B, cout, D * H * W)
