@@ -43,10 +43,12 @@ def main():
 
         @jax.jit
         def fwd(x, w, b):
-            # vary w per rep (defeats CSE) at negligible cost
+            # vary w per rep to defeat CSE; the factor must be
+            # bf16-representable — (1 + 1e-6·i) rounds to exactly 1.0 in
+            # bf16 and CSE dedupes every rep (round-2 lesson)
             acc = jnp.zeros((), jnp.float32)
             for i in range(REPS):
-                wi = w * (1.0 + 1e-6 * i)
+                wi = w * jnp.asarray(1.0 + i * 0.0078125, w.dtype)
                 acc += conv3d_k3s1_valid_d(x, wi, b).astype(jnp.float32).sum()
             return acc
 

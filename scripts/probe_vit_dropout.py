@@ -27,7 +27,9 @@ def timeit(name, fn, *args, reps=2, iters=3):
     def run(*a):
         acc = jnp.zeros((), jnp.float32)
         for i in range(reps):
-            scaled = jax.tree.map(lambda t: t * (1.0 + 1e-6 * i), a[0])
+            # bf16-representable factor (1+1e-6 rounds to 1.0 in bf16 → CSE)
+            scaled = jax.tree.map(
+                lambda t: t * jnp.asarray(1.0 + i * 0.0078125, t.dtype), a[0])
             out = fn(scaled, *a[1:])
             for leaf in jax.tree.leaves(out):
                 acc += jnp.sum(leaf.astype(jnp.float32))

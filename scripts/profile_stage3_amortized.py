@@ -1,14 +1,20 @@
-"""TRUE stage-3 256³ component costs, amortized against the axon dispatch
-floor.
+"""Stage-3 256³ component costs, amortized against the axon dispatch floor.
 
-The earlier breakdown (profile_stage3_breakdown.py) timed each component as
-a separate jit dispatch with a device→host readback — but a single dispatch
-on axon carries a ~30-45 ms floor, so sub-100 ms components read several
-times too slow (the conv0-dgrad '52 ms' was really ~6.5 ms, and the
-'26-31 TF/s' k3 conv is really ~115 TF/s — see scripts/bench_smallcout.py).
-This profiler loops each component REPS times INSIDE one jit (inputs varied
-by (1 + i·1e-6) to defeat CSE; every output leaf folded into one scalar so
-nothing is dead-code-eliminated) and divides, so the floor amortizes away.
+The per-dispatch breakdown (profile_stage3_breakdown.py) times each component
+as a separate jit dispatch with a device→host readback — a single dispatch on
+axon carries a ~28-34 ms floor (calibrated via an empty jit), so sub-100 ms
+components read too slow. This profiler loops each component REPS times
+INSIDE one jit and divides.
+
+CSE WARNING (round-2 lesson): the original rep-variation `x·(1 + i·1e-6)`
+ROUNDS TO EXACTLY x IN BF16 (7 mantissa bits), so XLA CSE-deduped all reps
+into one computation and every amortized number read reps× too fast. Reps
+are now varied by (1 + i·2⁻⁷), which is bf16-representable. Even with real
+variation, reps of INDEPENDENT work interleave in the schedule (~1.2-1.4×
+measured on a big-matmul control), so amortized numbers still read somewhat
+optimistic vs serial cost — for serial truth use single-dispatch timings
+minus the calibrated floor, or composed reps=1 measurements
+(profile_step_bisect.py / profile_stage3_glue.py).
 
 Usage: python scripts/profile_stage3_amortized.py [--only loss,chain,vit,misc]
 """
@@ -36,7 +42,11 @@ def timeit_amortized(name, fn, *args, reps, iters=3):
     def run(*a):
         acc = jnp.zeros((), jnp.float32)
         for i in range(reps):
-            scaled = a[0] * (1.0 + 1e-6 * i)
+            # 1 + i·2⁻⁷ is exactly representable in bf16 — (1 + i·1e-6)
+            # rounds to 1.0 there and lets CSE dedupe every rep (see module
+            # docstring)
+            scaled = jax.tree.map(
+                lambda t: t * jnp.asarray(1.0 + i * 0.0078125, t.dtype), a[0])
             out = fn(scaled, *a[1:])
             for leaf in jax.tree.leaves(out):
                 acc += jnp.sum(leaf.astype(jnp.float32))

@@ -34,7 +34,9 @@ def timeit(name, fn, *args, reps=2, iters=3):
     def run(*a):
         acc = jnp.zeros((), jnp.float32)
         for i in range(reps):
-            scaled = jax.tree.map(lambda t: t * (1.0 + 1e-6 * i), a[0])
+            # bf16-representable factor (1+1e-6 rounds to 1.0 in bf16 → CSE)
+            scaled = jax.tree.map(
+                lambda t: t * jnp.asarray(1.0 + i * 0.0078125, t.dtype), a[0])
             out = fn(scaled, *a[1:])
             for leaf in jax.tree.leaves(out):
                 acc += jnp.sum(leaf.astype(jnp.float32))
@@ -76,15 +78,19 @@ def main():
     variables = jax.tree.map(lambda s: (jnp.zeros(s.shape, s.dtype)
                                         if s.size > 1 else jnp.ones(s.shape, s.dtype)), variables)
     params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
     loss_obj = MultiScaleLoss()
     target256 = jnp.zeros((B, 1, 256, 256, 256), jnp.float32)
     xr_in = jnp.zeros((B, 2, 1, 512, 512), jnp.float32)
     rng = jax.random.PRNGKey(1)
 
     def apply_stage(params, max_stage, train=True):
-        return model.apply({"params": params}, xrays, max_stage=max_stage,
-                           train=train, stop_grad_stage1=max_stage >= 2,
-                           rngs={"dropout": rng} if train else None)
+        vs = {"params": params, "batch_stats": batch_stats}
+        out = model.apply(vs, xrays, max_stage=max_stage,
+                          train=train, stop_grad_stage1=max_stage >= 2,
+                          mutable=["batch_stats"] if train else False,
+                          rngs={"dropout": rng} if train else None)
+        return out[0] if train else out
 
     if "vg3" in groups:
         def loss3(params):
