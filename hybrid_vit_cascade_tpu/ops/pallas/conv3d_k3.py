@@ -176,6 +176,55 @@ def _conv_kernel_smallcin(cin: int, cout: int, L: int, W: int, k_rows: int,
     o_ref[0, :, :] = acc.astype(out_dtype)
 
 
+def _pack_weights_ztriple(w: jnp.ndarray, dtype):
+    """(Cout, Cin, 3, 3, 3) OIDHW → (3dx, 3dy, Cout, 3Cin) for a single
+    z-TRIPLE dot per (dx, dy) tap column; K rows z-major to match the
+    stitched scratch. Used when 3·Cin ≤ 128: the pair+single split would
+    run its K=Cin single dot at ≤ 33% contraction-row occupancy, while one
+    K=3·Cin dot reaches 3·Cin/128 (e.g. 75% at Cin=32 vs the split's
+    mean ~37%)."""
+    cout, cin = w.shape[0], w.shape[1]
+    wt = jnp.transpose(w, (4, 3, 0, 2, 1)).astype(dtype)  # (dx, dy, Cout, z, Cin)
+    return wt.reshape(3, 3, cout, 3 * cin)
+
+
+def _conv_kernel_ztriple(cin: int, cout: int, L: int, W: int, out_dtype,
+                         *refs):
+    """z-triple variant of _conv_kernel: one (Cout, 3Cin)@(3Cin, L) dot per
+    (dx, dy) tap column (applicable when 3·Cin ≤ 128)."""
+    (m0, m1, m2, l0, l1, l2, r0, r1, r2, wz_ref, b_ref, o_ref, s_ref) = refs
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    mains = (m0, m1, m2)
+    lefts = (l0, l1, l2)
+    rights = (r0, r1, r2)
+    for z in range(3):
+        left = lefts[z][0, :, :]
+        right = rights[z][0, :, :]
+        zero = jnp.zeros((), left.dtype)
+        s_ref[pl.ds(z * cin, cin), 0:W] = jnp.where(j > 0, left, zero)
+        s_ref[pl.ds(z * cin, cin), W:W + L] = mains[z][0, :, :]
+        s_ref[pl.ds(z * cin, cin), W + L:] = jnp.where(j < nj - 1, right, zero)
+
+    acc = jnp.broadcast_to(b_ref[:, :].astype(jnp.float32), (cout, L))
+    lane = lax.broadcasted_iota(jnp.int32, (1, L), 1) % W
+    for dx in range(3):
+        p = jnp.zeros((cout, L), jnp.float32)
+        for dy in range(3):
+            win = s_ref[:, pl.ds(W * dy, L)]
+            p += lax.dot_general(
+                wz_ref[dx, dy], win,
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        if dx == 0:
+            acc += jnp.where(lane == 0, 0.0, jnp.roll(p, 1, axis=1))
+        elif dx == 1:
+            acc += p
+        else:
+            acc += jnp.where(lane == W - 1, 0.0, jnp.roll(p, -1, axis=1))
+    o_ref[0, :, :] = acc.astype(out_dtype)
+
+
 def _conv_kernel(cin: int, cout: int, L: int, W: int, out_dtype,
                  *refs):
     (m0, m1, m2, l0, l1, l2, r0, r1, r2, wp_ref, ws_ref, b_ref,
@@ -279,6 +328,26 @@ def _conv_fwd(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray,
                 dimension_semantics=("arbitrary", "parallel")),
             interpret=interpret,
         )(*([xf] * 9), wk, b2)
+        return out.reshape(B, cout, D, H, W)
+
+    if 3 * cin <= 128:
+        wz = _pack_weights_ztriple(w, x.dtype)
+        out = pl.pallas_call(
+            functools.partial(_conv_kernel_ztriple, cin, cout, L, W, x.dtype),
+            grid=(B * D, (H * W) // L),
+            in_specs=_x_specs(cin, D, L, W, E) + [
+                pl.BlockSpec((3, 3, cout, 3 * cin), lambda bd, j: (0, 0, 0, 0)),
+                pl.BlockSpec((cout, 1), lambda bd, j: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, cout, L),
+                lambda bd, j: (bd // D, 0, (bd % D) * ((H * W) // L) + j)),
+            out_shape=jax.ShapeDtypeStruct((B, cout, D * H * W), x.dtype),
+            scratch_shapes=[pltpu.VMEM((3 * cin, L + 2 * W), x.dtype)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "parallel")),
+            interpret=interpret,
+        )(*([xf] * 9), wz, b2)
         return out.reshape(B, cout, D, H, W)
 
     wp, ws = _pack_weights(w, x.dtype)
