@@ -160,6 +160,16 @@ def cmd_transfer(args):
         print(json.dumps({"final": metrics}))
 
 
+def cmd_export(args):
+    from .inference import InferenceEngine
+
+    engine = InferenceEngine(args.checkpoint)
+    platforms = tuple(args.platforms.split(",")) if args.platforms else None
+    info = engine.export_serving(args.output, batch_size=args.batch_size,
+                                 max_stage=args.stage, platforms=platforms)
+    print(json.dumps(info, indent=2))
+
+
 def cmd_inspect(args):
     from .inference import inspect_checkpoint
 
@@ -232,6 +242,15 @@ def main(argv=None):
     n = sub.add_parser("inspect", help="dump checkpoint keys/shapes")
     n.add_argument("--checkpoint", required=True)
     n.set_defaults(fn=cmd_inspect)
+
+    ex = sub.add_parser("export", help="serialize checkpoint+model into one StableHLO serving artifact")
+    ex.add_argument("--checkpoint", required=True)
+    ex.add_argument("--output", required=True, help="artifact path (e.g. model.stablehlo)")
+    ex.add_argument("--batch-size", type=int, default=1)
+    ex.add_argument("--stage", type=int, default=3, help="cascade max_stage to export")
+    ex.add_argument("--platforms", default=None,
+                    help="comma-separated lowering targets, e.g. tpu,cpu (default: current backend)")
+    ex.set_defaults(fn=cmd_export)
 
     b = sub.add_parser("bench", help="run the throughput benchmark")
     b.set_defaults(fn=cmd_bench)

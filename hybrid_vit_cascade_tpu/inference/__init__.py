@@ -8,6 +8,7 @@ from .infer import (
     export_nifti,
     export_orthogonal_views,
     inspect_checkpoint,
+    load_serving,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "export_nifti",
     "export_orthogonal_views",
     "inspect_checkpoint",
+    "load_serving",
 ]

@@ -230,6 +230,44 @@ class InferenceEngine:
         paths["views"] = str(out / f"{prefix}_axial.png")
         return paths
 
+    def export_serving(self, output_path: str, batch_size: int = 1, max_stage: int = 3,
+                       platforms: Optional[Tuple[str, ...]] = None) -> Dict:
+        """Serialize the inference function INCLUDING the checkpoint weights
+        into one self-contained StableHLO artifact (jax.export): the serving
+        side needs only `load_serving(path)` — no model code, no checkpoint
+        tree, no config. Exceeds the reference's surface (it has no export
+        path; serving there means shipping the training repo + torch.load).
+
+        platforms: lowering targets, e.g. ("tpu", "cpu") for an artifact
+        that runs on both; default = the current backend only.
+        """
+        from jax import export as jexport
+
+        cfg = self.cfg
+        xr_shape = (batch_size, 2, 1, cfg.data.xray_size, cfg.data.xray_size)
+        kw = {"max_stage": max_stage} if cfg.model.family == "cascade" else {}
+        variables = self.variables
+
+        def fn(xrays):
+            return self.model.apply(variables, xrays, train=False, **kw)
+
+        exp = jexport.export(
+            jax.jit(fn), platforms=[p for p in platforms] if platforms else None,
+        )(jax.ShapeDtypeStruct(xr_shape, jnp.float32))
+        data = exp.serialize()
+        out = Path(output_path)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_bytes(data)
+        info = {
+            "path": str(out), "bytes": len(data),
+            "platforms": list(exp.platforms),
+            "input_shape": list(xr_shape),
+            "output_shape": [list(o.shape) for o in exp.out_avals],
+            "family": cfg.model.family,
+        }
+        (out.parent / (out.name + ".json")).write_text(json.dumps(info, indent=2))
+        return info
+
     def evaluate_dataset(self, dataset, out_json: Optional[str] = None, max_stage: int = 3) -> Dict:
         """Full-dataset mean±std metrics + json dump
         (inference_progressive.py:191-231, 352-363)."""
@@ -241,3 +279,14 @@ class InferenceEngine:
         if out_json:
             Path(out_json).write_text(json.dumps({"per_sample": rows, "summary": summary}, indent=2))
         return summary
+
+
+def load_serving(path: str):
+    """Load an `InferenceEngine.export_serving` artifact → callable
+    (xrays fp32 (B, 2, 1, S, S)) → reconstructed volume. Weights are baked
+    into the artifact; works in a process that never imports the model code
+    or reads a checkpoint."""
+    from jax import export as jexport
+
+    exp = jexport.deserialize(bytearray(Path(path).read_bytes()))
+    return lambda xrays: exp.call(jnp.asarray(xrays, jnp.float32))

@@ -108,6 +108,29 @@ class TestInferenceEngine:
         summary = engine.evaluate_dataset(ds, out_json=str(tmp_path / "eval.json"))
         assert "psnr" in summary and (tmp_path / "eval.json").exists()
 
+    def test_export_serving_roundtrip(self, tmp_path, trained_ckpt):
+        """StableHLO serving artifact: weights baked in, loadable without
+        model code, numerically identical to the live engine."""
+        from pathlib import Path as _P
+
+        from hybrid_vit_cascade_tpu.data import SyntheticCTDataset
+        from hybrid_vit_cascade_tpu.inference import InferenceEngine, load_serving
+
+        cfg = trained_ckpt
+        engine = InferenceEngine(str(_P(cfg.checkpoints.save_dir) / "latest"))
+        art = tmp_path / "model.stablehlo"
+        info = engine.export_serving(str(art), batch_size=1)
+        assert art.exists() and info["bytes"] > 0
+        assert (tmp_path / "model.stablehlo.json").exists()
+
+        serve = load_serving(str(art))
+        ds = SyntheticCTDataset(num_patients=1, volume_size=(16, 16, 16), xray_size=64)
+        xr = ds[0]["drr_stacked"][None]
+        got = np.asarray(serve(xr))
+        want = np.asarray(engine.reconstruct(xr))
+        assert got.shape == want.shape == (1, 1, 16, 16, 16)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
     def test_inspect_checkpoint(self, trained_ckpt):
         from hybrid_vit_cascade_tpu.inference import inspect_checkpoint
 
