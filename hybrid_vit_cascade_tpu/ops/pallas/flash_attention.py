@@ -310,18 +310,24 @@ def _bwd_pallas(qp, kp, vp, outp, lse, gp, kv_len, block_q, block_kv, interpret)
 
 
 def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, stats_ref, dq_ref, dk_ref,
-                      dv_ref, dk_scr, dv_scr, *, kv_len, block_kv, mask_kv):
+                      dv_ref, dk_scr, dv_scr, dq_scr, *, kv_len, block_kv,
+                      mask_kv):
     """dq/dk/dv from ONE pass over the (kv, q) block grid (qi innermost).
 
     s, p, and dp are computed once per block pair (the split kernels compute
     each twice). dk/dv accumulate in VMEM scratch across the q sweep and
-    flush when the kv block retires; dq has no safe in-kernel accumulator
-    across the OUTER kv dim, so each step writes its (bq, d) partial to a
-    per-kv-block output slot — XLA reduces the nkb copies outside.
+    flush when the kv block retires. dq accumulates across the OUTER kv dim
+    in a per-q-block slot of `dq_scr` — TPU grid steps run sequentially, so
+    the scratch persists across the whole (kv, q) sweep; each step stores the
+    running sum to the (revisited) dq output block and the LAST kv pass's
+    flush wins. The earlier per-kv-block-partials scheme (XLA-summed outside)
+    cost ~55 ms/step of reduce+relayout glue at the stage-3 hot shape: the
+    8 layers' (nkb, BH, nq, 128) fp32 partials are 2.1 GB each.
 
     Padded q rows carry lse=+inf → p = 0, padded kv columns are masked to
     -inf when `mask_kv` → p = ds = 0, so no padding contributes to any grad.
     """
+    ki = pl.program_id(1)
     qi = pl.program_id(2)
 
     q = q_ref[0]
@@ -346,9 +352,14 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, stats_ref, dq_ref, dk_ref,
     dk_c = lax.dot_general(
         dsb, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # (bkv, d)
-    dq_ref[0, 0] = lax.dot_general(
+    dq_c = lax.dot_general(
         dsb, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(dq_ref.dtype)  # (bq, d) partial — unique output slot per step
+    )  # (bq, d)
+    acc = jnp.where(ki == 0, dq_c, dq_scr[qi] + dq_c)
+    dq_scr[qi] = acc
+    # Store every step: intermediate flushes of this revisited block carry
+    # partial sums, the final (ki = nkb-1) flush lands last in grid order.
+    dq_ref[0] = acc.astype(dq_ref.dtype)
 
     @pl.when(qi == 0)
     def _init():
@@ -368,17 +379,19 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, stats_ref, dq_ref, dk_ref,
 
 def _bwd_pallas_fused(qp, kp, vp, outp, lse, gp, kv_len, block_q, block_kv,
                       interpret):
-    """Fused backward dispatch: grid (BH, kv_blocks, q_blocks), dq summed
-    from per-kv-block partials (fp32, (nkb, BH, nq, d) — ~2.1 GB at the
-    stage-3 hot shape with 2048-kv blocks, freed right after the sum)."""
+    """Fused backward dispatch: grid (BH, kv_blocks, q_blocks), dq
+    accumulated in a (q_blocks, block_q, d) VMEM scratch across the outer kv
+    sweep (16.7 MB fp32 at the stage-3 hot shape — sequential TPU grid steps
+    make the read-modify-write race-free)."""
     BH, nq, d = qp.shape
     nk = kp.shape[1]
     delta = jnp.sum(gp.astype(jnp.float32) * outp.astype(jnp.float32), axis=-1)  # (BH, nq)
     stats = jnp.stack([lse, delta], axis=-1)  # (BH, nq, 2)
 
     nkb = nk // block_kv
-    grid = (BH, nkb, nq // block_q)
-    dq_partials, dk, dv = pl.pallas_call(
+    nqb = nq // block_q
+    grid = (BH, nkb, nqb)
+    dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_fused_kernel, kv_len=kv_len, block_kv=block_kv,
                           mask_kv=(nk != kv_len)),
         grid=grid,
@@ -390,18 +403,19 @@ def _bwd_pallas_fused(qp, kp, vp, outp, lse, gp, kv_len, block_q, block_kv,
             pl.BlockSpec((1, block_q, 2), lambda b, ki, qi: (b, qi, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda b, ki, qi: (ki, b, qi, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, ki, qi: (b, qi, 0)),
             pl.BlockSpec((1, block_kv, d), lambda b, ki, qi: (b, ki, 0)),
             pl.BlockSpec((1, block_kv, d), lambda b, ki, qi: (b, ki, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nkb, BH, nq, d), jnp.float32),
+            jax.ShapeDtypeStruct((BH, nq, d), jnp.float32),
             jax.ShapeDtypeStruct((BH, nk, d), jnp.float32),
             jax.ShapeDtypeStruct((BH, nk, d), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_kv, d), jnp.float32),
             pltpu.VMEM((block_kv, d), jnp.float32),
+            pltpu.VMEM((nqb, block_q, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
@@ -409,7 +423,7 @@ def _bwd_pallas_fused(qp, kp, vp, outp, lse, gp, kv_len, block_q, block_kv,
         ),
         interpret=interpret,
     )(qp, kp, vp, gp, stats)
-    return jnp.sum(dq_partials, axis=0), dk, dv
+    return dq, dk, dv
 
 
 def _bwd_blockwise(q, k, v, out, lse, do, scale, kv_len, block_q, block_kv):

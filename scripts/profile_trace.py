@@ -97,22 +97,42 @@ def analyze(tracedir: str, top: int) -> None:
             and e.get("tid") in mod_tid]
     ops = [e for e in evs if e.get("ph") == "X" and e.get("pid") == dev_pid
            and e.get("tid") in ops_tid]
-    n_mods = len(mods)
+    by_mod = collections.Counter()
+    mod_count = collections.Counter()
+    for e in mods:
+        name = e["name"].rstrip("0123456789.")
+        by_mod[name] += e["dur"]
+        mod_count[name] += 1
+    print("modules (total ms, execs):")
+    for name, dur in by_mod.most_common():
+        print(f"  {name[:70]:70s} {dur/1e3:9.1f} {mod_count[name]:4d}")
+    # step count = executions of the dominant module (the train step)
+    per = mod_count[by_mod.most_common(1)[0][0]] if mods else 1
     mod_total = sum(e["dur"] for e in mods)
-    print(f"modules: {n_mods} executions, {mod_total/1e3:.1f} ms total "
-          f"({mod_total/1e3/max(n_mods,1):.1f} ms each)")
-    if n_mods > 1:
+    if len(mods) > 1:
         # time BETWEEN module executions = dispatch/readback gaps
         mods_sorted = sorted(mods, key=lambda e: e["ts"])
         gaps = [mods_sorted[i+1]["ts"] - (mods_sorted[i]["ts"] + mods_sorted[i]["dur"])
-                for i in range(n_mods - 1)]
+                for i in range(len(mods) - 1)]
         print(f"inter-module gaps: {[round(g/1e3,1) for g in gaps]} ms")
 
-    op_total = sum(e["dur"] for e in ops)
-    print(f"ops: {len(ops)} events, {op_total/1e3:.1f} ms total; "
-          f"device idle inside modules = {(mod_total-op_total)/1e3:.1f} ms")
-
-    per = max(n_mods, 1)
+    # Exclusive durations: ph=X events on one tid nest by (ts, dur); an op's
+    # self time excludes its children (e.g. fusions inside a `while` body),
+    # otherwise scan bodies are double-counted and idle reads negative.
+    ops_sorted = sorted(ops, key=lambda e: (e["ts"], -e["dur"]))
+    excl = {}
+    stack = []
+    for e in ops_sorted:
+        while stack and e["ts"] >= stack[-1]["ts"] + stack[-1]["dur"]:
+            stack.pop()
+        if stack:
+            excl[id(stack[-1])] -= e["dur"]
+        excl[id(e)] = excl.get(id(e), 0) + e["dur"]
+        stack.append(e)
+    op_total = sum(excl.values())
+    print(f"ops: {len(ops)} events, {op_total/1e3:.1f} ms exclusive total; "
+          f"device idle inside modules = {(mod_total-op_total)/1e3:.1f} ms; "
+          f"per step = {mod_total/1e3/per:.1f} ms over {per} steps")
     by_cat = collections.Counter()
     by_name = collections.Counter()
     name_count = collections.Counter()
@@ -121,10 +141,11 @@ def analyze(tracedir: str, top: int) -> None:
     for e in ops:
         args = e.get("args", {})
         cat = args.get("hlo_category", "?")
-        by_cat[cat] += e["dur"]
+        dur = excl[id(e)]
+        by_cat[cat] += dur
         # group by op-name stem (strip trailing .N / digits)
         name = e["name"].rstrip("0123456789.")
-        by_name[name] += e["dur"]
+        by_name[name] += dur
         name_count[name] += 1
         flops_by_name[name] += int(args.get("model_flops", 0) or 0)
         bytes_by_name[name] += int(args.get("raw_bytes_accessed", 0) or 0)
