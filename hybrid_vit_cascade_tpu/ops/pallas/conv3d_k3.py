@@ -296,23 +296,29 @@ def _x_specs(cin: int, D: int, L: int, W: int, E: int):
     return specs
 
 
-def _conv_fwd(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray,
+def _conv_fwd(xf: jnp.ndarray, dims: tuple, w: jnp.ndarray, bias: jnp.ndarray,
               interpret: bool) -> jnp.ndarray:
-    """x: (B, Cin, D+2, H, W) VALID in D / SAME in H,W → (B, Cout, D, H, W)."""
-    B, cin, dext, H, W = x.shape
+    """xf: (B, Cin, (D+2)·H·W) VALID in D / SAME in H,W → (B, Cout, D·H·W).
+
+    Flat rank-3 I/O end to end: the kernel's (Cin, lanes) operand layout is
+    the SAME physical layout the surrounding slab-chain ops use, so chains
+    of convs + elementwise ops run with zero relayouts (the rank-5↔rank-3
+    reshape around every conv cost ~60 ms/step of `reshape` HLOs in the
+    stage-3 device trace before this)."""
+    dext, H, W = dims
+    B, cin = xf.shape[0], xf.shape[1]
     cout = w.shape[0]
     D = dext - 2
     L = _lane_block(H, W, cin, cout)
     E = (H * W) // W
-    xf = x.reshape(B, cin, dext * H * W)
     b2 = bias.astype(jnp.float32).reshape(cout, 1)
 
     if cin <= SMALLCIN_MAX:
         k_rows = 27 * cin
-        wk = _pack_weights_taps(w, x.dtype, k_rows)
+        wk = _pack_weights_taps(w, xf.dtype, k_rows)
         out = pl.pallas_call(
             functools.partial(_conv_kernel_smallcin, cin, cout, L, W, k_rows,
-                              x.dtype),
+                              xf.dtype),
             grid=(B * D, (H * W) // L),
             in_specs=_x_specs(cin, D, L, W, E) + [
                 pl.BlockSpec((cout, k_rows), lambda bd, j: (0, 0)),
@@ -321,19 +327,19 @@ def _conv_fwd(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray,
             out_specs=pl.BlockSpec(
                 (1, cout, L),
                 lambda bd, j: (bd // D, 0, (bd % D) * ((H * W) // L) + j)),
-            out_shape=jax.ShapeDtypeStruct((B, cout, D * H * W), x.dtype),
-            scratch_shapes=[pltpu.VMEM((3 * cin, L + 2 * W), x.dtype),
-                            pltpu.VMEM((k_rows, L), x.dtype)],
+            out_shape=jax.ShapeDtypeStruct((B, cout, D * H * W), xf.dtype),
+            scratch_shapes=[pltpu.VMEM((3 * cin, L + 2 * W), xf.dtype),
+                            pltpu.VMEM((k_rows, L), xf.dtype)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "parallel")),
             interpret=interpret,
         )(*([xf] * 9), wk, b2)
-        return out.reshape(B, cout, D, H, W)
+        return out
 
     if 3 * cin <= 128:
-        wz = _pack_weights_ztriple(w, x.dtype)
+        wz = _pack_weights_ztriple(w, xf.dtype)
         out = pl.pallas_call(
-            functools.partial(_conv_kernel_ztriple, cin, cout, L, W, x.dtype),
+            functools.partial(_conv_kernel_ztriple, cin, cout, L, W, xf.dtype),
             grid=(B * D, (H * W) // L),
             in_specs=_x_specs(cin, D, L, W, E) + [
                 pl.BlockSpec((3, 3, cout, 3 * cin), lambda bd, j: (0, 0, 0, 0)),
@@ -342,17 +348,17 @@ def _conv_fwd(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray,
             out_specs=pl.BlockSpec(
                 (1, cout, L),
                 lambda bd, j: (bd // D, 0, (bd % D) * ((H * W) // L) + j)),
-            out_shape=jax.ShapeDtypeStruct((B, cout, D * H * W), x.dtype),
-            scratch_shapes=[pltpu.VMEM((3 * cin, L + 2 * W), x.dtype)],
+            out_shape=jax.ShapeDtypeStruct((B, cout, D * H * W), xf.dtype),
+            scratch_shapes=[pltpu.VMEM((3 * cin, L + 2 * W), xf.dtype)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "parallel")),
             interpret=interpret,
         )(*([xf] * 9), wz, b2)
-        return out.reshape(B, cout, D, H, W)
+        return out
 
-    wp, ws = _pack_weights(w, x.dtype)
+    wp, ws = _pack_weights(w, xf.dtype)
     out = pl.pallas_call(
-        functools.partial(_conv_kernel, cin, cout, L, W, x.dtype),
+        functools.partial(_conv_kernel, cin, cout, L, W, xf.dtype),
         grid=(B * D, (H * W) // L),
         in_specs=_x_specs(cin, D, L, W, E) + [
             pl.BlockSpec((3, 3, cout, 2 * cin), lambda bd, j: (0, 0, 0, 0)),
@@ -362,13 +368,13 @@ def _conv_fwd(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray,
         out_specs=pl.BlockSpec(
             (1, cout, L),
             lambda bd, j: (bd // D, 0, (bd % D) * ((H * W) // L) + j)),
-        out_shape=jax.ShapeDtypeStruct((B, cout, D * H * W), x.dtype),
-        scratch_shapes=[pltpu.VMEM((3 * cin, L + 2 * W), x.dtype)],
+        out_shape=jax.ShapeDtypeStruct((B, cout, D * H * W), xf.dtype),
+        scratch_shapes=[pltpu.VMEM((3 * cin, L + 2 * W), xf.dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "parallel")),
         interpret=interpret,
     )(*([xf] * 9), wp, ws, b2)
-    return out.reshape(B, cout, D, H, W)
+    return out
 
 
 def _wgrad_kernel(cin: int, cout: int, L: int, W: int, *refs):
@@ -415,15 +421,15 @@ def _wgrad_kernel(cin: int, cout: int, L: int, W: int, *refs):
             o_ref[dx, dy] += part
 
 
-def _wgrad(x: jnp.ndarray, g: jnp.ndarray, cout: int,
+def _wgrad(xf: jnp.ndarray, dims: tuple, gf: jnp.ndarray, cout: int,
            interpret: bool) -> jnp.ndarray:
-    """dW (Cout, Cin, 3, 3, 3) from x (B,Cin,D+2,H,W) and g (B,Cout,D,H,W)."""
-    B, cin, dext, H, W = x.shape
+    """dW (Cout, Cin, 3, 3, 3) from flat xf (B, Cin, (D+2)·H·W) and
+    gf (B, Cout, D·H·W)."""
+    dext, H, W = dims
+    B, cin = xf.shape[0], xf.shape[1]
     D = dext - 2
     L = _lane_block(H, W, cin, cout)
     E = (H * W) // W
-    xf = x.reshape(B, cin, dext * H * W)
-    gf = g.reshape(B, cout, D * H * W)
 
     out = pl.pallas_call(
         functools.partial(_wgrad_kernel, cin, cout, L, W),
@@ -436,7 +442,7 @@ def _wgrad(x: jnp.ndarray, g: jnp.ndarray, cout: int,
         out_specs=pl.BlockSpec(
             (3, 3, 3 * cin, cout), lambda bd, j: (0, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((3, 3, 3 * cin, cout), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((3 * cin, L + 2 * W), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((3 * cin, L + 2 * W), xf.dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
@@ -446,36 +452,53 @@ def _wgrad(x: jnp.ndarray, g: jnp.ndarray, cout: int,
     return jnp.transpose(out, (4, 3, 2, 1, 0))
 
 
-@jax.custom_vjp
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def conv3d_k3s1_flat(dims: tuple, xf: jnp.ndarray, w: jnp.ndarray,
+                     bias: jnp.ndarray):
+    """Flat-I/O 3×3×3 stride-1 conv, VALID in D, SAME in H/W.
+
+    dims = (D+2, H, W) static; xf: (B, Cin, (D+2)·H·W); w: (Cout, Cin,
+    3, 3, 3) OIDHW; bias: (Cout,). Returns (B, Cout, D·H·W) in xf.dtype.
+    Rank-3 in and out so slab-chain bodies never leave the kernel's
+    (C, lanes) physical layout (see _conv_fwd). Differentiable (custom VJP
+    with Pallas dgrad/wgrad kernels, also flat)."""
+    return _conv_fwd(xf, dims, w, bias, interpret=_is_cpu())
+
+
+def _vjp_fwd(dims, xf, w, bias):
+    return conv3d_k3s1_flat(dims, xf, w, bias), (xf, w, bias)
+
+
+def _vjp_bwd(dims, res, g):
+    xf, w, bias = res
+    dext, H, W = dims
+    cout, cin = w.shape[0], w.shape[1]
+    g = g.astype(xf.dtype)
+    # dgrad: conv of g with channel-transposed, tap-flipped weights; pad g
+    # by 2 D-planes (2·H·W lanes) so the VALID output covers xf's D+2 rows.
+    wT = jnp.transpose(w, (1, 0, 2, 3, 4))[:, :, ::-1, ::-1, ::-1]
+    gp = jnp.pad(g, ((0, 0), (0, 0), (2 * H * W, 2 * H * W)))
+    dx = _conv_fwd(gp, (dext + 2, H, W), wT, jnp.zeros((cin,), jnp.float32),
+                   interpret=_is_cpu())
+    dw = _wgrad(xf, dims, g, cout, interpret=_is_cpu()).astype(w.dtype)
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 2)).astype(bias.dtype)
+    return dx, dw, db
+
+
+conv3d_k3s1_flat.defvjp(_vjp_fwd, _vjp_bwd)
+
+
 def conv3d_k3s1_valid_d(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray):
     """3×3×3 stride-1 conv, VALID in D (x carries D-halos), SAME in H/W.
 
     x: (B, Cin, D+2, H, W); w: (Cout, Cin, 3, 3, 3) OIDHW; bias: (Cout,).
-    Returns (B, Cout, D, H, W) in x.dtype. Differentiable (custom VJP with
-    Pallas dgrad/wgrad kernels)."""
-    return _conv_fwd(x, w, bias, interpret=_is_cpu())
-
-
-def _vjp_fwd(x, w, bias):
-    return conv3d_k3s1_valid_d(x, w, bias), (x, w, bias)
-
-
-def _vjp_bwd(res, g):
-    x, w, bias = res
-    cout, cin = w.shape[0], w.shape[1]
-    g = g.astype(x.dtype)
-    # dgrad: conv of g with channel-transposed, tap-flipped weights; pad g
-    # by 2 in D so the VALID output covers x's D+2 rows.
-    wT = jnp.transpose(w, (1, 0, 2, 3, 4))[:, :, ::-1, ::-1, ::-1]
-    gp = jnp.pad(g, ((0, 0), (0, 0), (2, 2), (0, 0), (0, 0)))
-    dx = _conv_fwd(gp, wT, jnp.zeros((cin,), jnp.float32),
-                   interpret=_is_cpu())
-    dw = _wgrad(x, g, cout, interpret=_is_cpu()).astype(w.dtype)
-    db = jnp.sum(g.astype(jnp.float32), axis=(0, 2, 3, 4)).astype(bias.dtype)
-    return dx, dw, db
-
-
-conv3d_k3s1_valid_d.defvjp(_vjp_fwd, _vjp_bwd)
+    Returns (B, Cout, D, H, W) in x.dtype. Rank-5 convenience wrapper over
+    conv3d_k3s1_flat (which hot slab chains call directly to stay in the
+    flat layout)."""
+    B, cin, dext, H, W = x.shape
+    out = conv3d_k3s1_flat((dext, H, W), x.reshape(B, cin, dext * H * W),
+                           w, bias)
+    return out.reshape(B, w.shape[0], dext - 2, H, W)
 
 
 def conv3d_k3s1_same(x: jnp.ndarray, w: jnp.ndarray,

@@ -187,21 +187,24 @@ def _fwd_specs(cin: int, dp: int, rp: int, w_in: int, h_in: int):
     return specs
 
 
-def _conv_fwd_s2(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray,
-                 interpret: bool) -> jnp.ndarray:
-    """x: (B, Cin, 2D'+1, H, W) VALID in D → (B, Cout, D', H/2, W/2)."""
-    B, cin, dext, H, W = x.shape
+def _conv_fwd_s2(xf: jnp.ndarray, dims: tuple, w: jnp.ndarray,
+                 bias: jnp.ndarray, interpret: bool) -> jnp.ndarray:
+    """xf: (B, Cin, (2D'+1)·H·W) VALID in D → (B, Cout, D'·(H/2)·(W/2)).
+
+    Flat rank-3 I/O like conv3d_k3.py's _conv_fwd — slab-chain bodies stay
+    in the kernel's (C, lanes) physical layout across conv boundaries."""
+    dext, H, W = dims
+    B, cin = xf.shape[0], xf.shape[1]
     cout = w.shape[0]
     dp, hp, xp = (dext - 1) // 2, H // 2, W // 2
     rp = _row_block(hp)
     Lp = rp * xp
-    xf = x.reshape(B, cin, dext * H * W)
-    wp, ws = _pack_weights_s2(w, x.dtype)
+    wp, ws = _pack_weights_s2(w, xf.dtype)
     b2 = bias.astype(jnp.float32).reshape(cout, 1)
-    s_mat = jnp.asarray(_sel_matrix(W, np.float32)).astype(x.dtype)
+    s_mat = jnp.asarray(_sel_matrix(W, np.float32)).astype(xf.dtype)
 
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, cin, cout, rp, xp, W, x.dtype),
+        functools.partial(_fwd_kernel, cin, cout, rp, xp, W, xf.dtype),
         grid=(B * dp, hp // rp),
         in_specs=_fwd_specs(cin, dp, rp, W, H) + [
             pl.BlockSpec((W, 2 * xp), lambda bd, j: (0, 0)),
@@ -212,13 +215,13 @@ def _conv_fwd_s2(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray,
         out_specs=pl.BlockSpec(
             (1, cout, Lp),
             lambda bd, j: (bd // dp, 0, (bd % dp) * ((hp * xp) // Lp) + j)),
-        out_shape=jax.ShapeDtypeStruct((B, cout, dp * hp * xp), x.dtype),
-        scratch_shapes=[pltpu.VMEM((4 * 3 * cin, (rp + 1) * xp), x.dtype)],
+        out_shape=jax.ShapeDtypeStruct((B, cout, dp * hp * xp), xf.dtype),
+        scratch_shapes=[pltpu.VMEM((4 * 3 * cin, (rp + 1) * xp), xf.dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "parallel")),
         interpret=interpret,
     )(*([xf] * 6), s_mat, wp, ws, b2)
-    return out.reshape(B, cout, dp, hp, xp)
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -321,16 +324,18 @@ def _g_specs(cout: int, nplanes: int, rp: int, xp: int, hp: int, even: bool):
             pl.BlockSpec((1, cout, xp), edgeA), edge]
 
 
-def _dgrad_s2(g: jnp.ndarray, w: jnp.ndarray, interpret: bool) -> jnp.ndarray:
-    """dx (B, Cin, 2D'+1, H, W) from g (B, Cout, D', H', Xp)."""
-    B, cout, dp, hp, xp = g.shape
+def _dgrad_s2(gf: jnp.ndarray, gdims: tuple, w: jnp.ndarray,
+              interpret: bool) -> jnp.ndarray:
+    """Flat dx (B, Cin, (2D'+1)·H·W) from gf (B, Cout, D'·H'·Xp);
+    gdims = (D', H', Xp)."""
+    dp, hp, xp = gdims
+    B, cout = gf.shape[0], gf.shape[1]
     cin = w.shape[1]
     H, W = 2 * hp, 2 * xp
     rp = _row_block(hp)
-    gf = g.reshape(B, cout, dp * hp * xp)
-    s_mat = jnp.asarray(_sel_matrix(W, np.float32)).astype(g.dtype)
+    s_mat = jnp.asarray(_sel_matrix(W, np.float32)).astype(gf.dtype)
     # (dx, dy, Cin, Cout, dz)
-    wt = jnp.transpose(w, (4, 3, 1, 0, 2)).astype(g.dtype)
+    wt = jnp.transpose(w, (4, 3, 1, 0, 2)).astype(gf.dtype)
     pairT = jnp.concatenate([wt[..., 2], wt[..., 0]], axis=-1)
     singleT = wt[..., 1]
 
@@ -341,7 +346,7 @@ def _dgrad_s2(g: jnp.ndarray, w: jnp.ndarray, interpret: bool) -> jnp.ndarray:
         kk = 2 * cout if even else cout
         out = pl.pallas_call(
             functools.partial(_dgrad_kernel, cout, cin, rp, xp, W,
-                              nplanes, even, g.dtype),
+                              nplanes, even, gf.dtype),
             grid=(B * nplanes, hp // rp),
             in_specs=_g_specs(cout, nplanes, rp, xp, hp, even) + [
                 pl.BlockSpec((W, 2 * xp), lambda bd, j: (0, 0)),
@@ -351,16 +356,19 @@ def _dgrad_s2(g: jnp.ndarray, w: jnp.ndarray, interpret: bool) -> jnp.ndarray:
                 (1, cin, 2 * rp * W),
                 lambda bd, j, n=nplanes: (bd // n, 0,
                                           (bd % n) * (hp // rp) + j)),
-            out_shape=jax.ShapeDtypeStruct((B, cin, nplanes * H * W), g.dtype),
-            scratch_shapes=[pltpu.VMEM((kk, (rp + 1) * xp), g.dtype)],
+            out_shape=jax.ShapeDtypeStruct((B, cin, nplanes * H * W), gf.dtype),
+            scratch_shapes=[pltpu.VMEM((kk, (rp + 1) * xp), gf.dtype)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "parallel")),
             interpret=interpret,
         )(*([gf] * (4 if even else 2)), s_mat, wt_arr)
-        outs.append(out.reshape(B, cin, nplanes, H, W))
-    dxe, dxo = outs
-    inter = jnp.stack([dxe[:, :, :dp], dxo], axis=3).reshape(B, cin, 2 * dp, H, W)
-    return jnp.concatenate([inter, dxe[:, :, dp:]], axis=2)
+        outs.append(out)
+    dxe, dxo = outs  # flat (B, cin, (dp+1)·E), (B, cin, dp·E); E = H·W
+    E = H * W
+    inter = jnp.stack([dxe[:, :, :dp * E].reshape(B, cin, dp, E),
+                       dxo.reshape(B, cin, dp, E)],
+                      axis=3).reshape(B, cin, 2 * dp * E)
+    return jnp.concatenate([inter, dxe[:, :, dp * E:]], axis=2)
 
 
 # --------------------------------------------------------------------------
@@ -424,17 +432,16 @@ def _wgrad_kernel(cin: int, cout: int, rp: int, xp: int, w_in: int, *refs):
             o_ref[dxi, dyi] += part
 
 
-def _wgrad_s2(x: jnp.ndarray, g: jnp.ndarray, interpret: bool) -> jnp.ndarray:
-    """dW (Cout, Cin, 3, 3, 3) from x (B, Cin, 2D'+1, H, W) and
-    g (B, Cout, D', H', Xp)."""
-    B, cin, dext, H, W = x.shape
-    cout = g.shape[1]
+def _wgrad_s2(xf: jnp.ndarray, dims: tuple, gf: jnp.ndarray, cout: int,
+              interpret: bool) -> jnp.ndarray:
+    """dW (Cout, Cin, 3, 3, 3) from flat xf (B, Cin, (2D'+1)·H·W) and
+    gf (B, Cout, D'·H'·Xp); dims = (2D'+1, H, W)."""
+    dext, H, W = dims
+    B, cin = xf.shape[0], xf.shape[1]
     dp, hp, xp = (dext - 1) // 2, H // 2, W // 2
     rp = _row_block(hp)
     Lp = rp * xp
-    xf = x.reshape(B, cin, dext * H * W)
-    gf = g.reshape(B, cout, dp * hp * xp)
-    s_mat = jnp.asarray(_sel_matrix(W, np.float32)).astype(x.dtype)
+    s_mat = jnp.asarray(_sel_matrix(W, np.float32)).astype(xf.dtype)
 
     out = pl.pallas_call(
         functools.partial(_wgrad_kernel, cin, cout, rp, xp, W),
@@ -448,7 +455,7 @@ def _wgrad_s2(x: jnp.ndarray, g: jnp.ndarray, interpret: bool) -> jnp.ndarray:
         out_specs=pl.BlockSpec(
             (3, 3, 3 * cin, cout), lambda bd, j: (0, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((3, 3, 3 * cin, cout), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((4 * 3 * cin, (rp + 1) * xp), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((4 * 3 * cin, (rp + 1) * xp), xf.dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
@@ -458,32 +465,50 @@ def _wgrad_s2(x: jnp.ndarray, g: jnp.ndarray, interpret: bool) -> jnp.ndarray:
     return jnp.transpose(out, (4, 3, 2, 1, 0))
 
 
-@jax.custom_vjp
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def conv3d_k3s2_flat(dims: tuple, xf: jnp.ndarray, w: jnp.ndarray,
+                     bias: jnp.ndarray):
+    """Flat-I/O 3×3×3 stride-2 conv, VALID in D, SAME in H/W.
+
+    dims = (2D'+1, H, W) static; xf: (B, Cin, (2D'+1)·H·W); w: (Cout, Cin,
+    3, 3, 3) OIDHW; bias: (Cout,). Returns (B, Cout, D'·(H/2)·(W/2)) in
+    xf.dtype. Rank-3 I/O so slab-chain bodies stay in the kernel layout.
+    Differentiable (custom VJP with Pallas dgrad/wgrad kernels)."""
+    return _conv_fwd_s2(xf, dims, w, bias, interpret=_is_cpu())
+
+
+def _vjp_fwd(dims, xf, w, bias):
+    return conv3d_k3s2_flat(dims, xf, w, bias), (xf, w, bias)
+
+
+def _vjp_bwd(dims, res, g):
+    xf, w, bias = res
+    dext, H, W = dims
+    dp, hp, xp = (dext - 1) // 2, H // 2, W // 2
+    g = g.astype(xf.dtype)
+    dx = _dgrad_s2(g, (dp, hp, xp), w.astype(xf.dtype), interpret=_is_cpu())
+    dw = _wgrad_s2(xf, dims, g, w.shape[0], interpret=_is_cpu()).astype(w.dtype)
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 2)).astype(bias.dtype)
+    return dx, dw, db
+
+
+conv3d_k3s2_flat.defvjp(_vjp_fwd, _vjp_bwd)
+
+
 def conv3d_k3s2_valid_d(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray):
     """3×3×3 stride-2 conv, VALID in D (x carries the D-halo layout
     2·D'+1), SAME in H/W.
 
     x: (B, Cin, 2D'+1, H, W); w: (Cout, Cin, 3, 3, 3) OIDHW; bias: (Cout,).
-    Returns (B, Cout, D', H/2, W/2) in x.dtype. Differentiable (custom VJP
-    with Pallas dgrad/wgrad kernels). Replaces the reference's stride-2
-    stem convs (hybrid_vit_backbone.py token stem) on the TPU hot path."""
-    return _conv_fwd_s2(x, w, bias, interpret=_is_cpu())
-
-
-def _vjp_fwd(x, w, bias):
-    return conv3d_k3s2_valid_d(x, w, bias), (x, w, bias)
-
-
-def _vjp_bwd(res, g):
-    x, w, bias = res
-    g = g.astype(x.dtype)
-    dx = _dgrad_s2(g, w.astype(x.dtype), interpret=_is_cpu())
-    dw = _wgrad_s2(x, g, interpret=_is_cpu()).astype(w.dtype)
-    db = jnp.sum(g.astype(jnp.float32), axis=(0, 2, 3, 4)).astype(bias.dtype)
-    return dx, dw, db
-
-
-conv3d_k3s2_valid_d.defvjp(_vjp_fwd, _vjp_bwd)
+    Returns (B, Cout, D', H/2, W/2) in x.dtype. Rank-5 convenience wrapper
+    over conv3d_k3s2_flat (hot slab chains call the flat form directly).
+    Replaces the reference's stride-2 stem convs (hybrid_vit_backbone.py
+    token stem) on the TPU hot path."""
+    B, cin, dext, H, W = x.shape
+    dp = (dext - 1) // 2
+    out = conv3d_k3s2_flat((dext, H, W), x.reshape(B, cin, dext * H * W),
+                           w, bias)
+    return out.reshape(B, w.shape[0], dp, H // 2, W // 2)
 
 
 def conv3d_k3s2_same(x: jnp.ndarray, w: jnp.ndarray,

@@ -51,6 +51,13 @@ import os
 _PALLAS_CONV = os.environ.get("HVC_PALLAS_CONV", "1") != "0"
 
 
+def _interpret_ok() -> bool:
+    """HVC_PALLAS_INTERPRET=1 lets the Pallas chain path run on CPU in
+    interpret mode — used by tests to cover the flat-layout streamed body
+    (which otherwise only executes on TPU)."""
+    return os.environ.get("HVC_PALLAS_INTERPRET", "0") == "1"
+
+
 def _pallas_conv_applicable(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
                             d_padding: int) -> bool:
     from .pallas.conv3d_k3 import _is_cpu, supports
@@ -59,7 +66,7 @@ def _pallas_conv_applicable(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
     cin, dd, h, w = x.shape[1], x.shape[2], x.shape[3], x.shape[4]
     return (
         _PALLAS_CONV
-        and not _is_cpu()
+        and (not _is_cpu() or _interpret_ok())
         and supports(cin, k, stride, h, w)
         and d_padding in (0, 1)
         and dd + 2 * d_padding >= 3
@@ -72,7 +79,8 @@ def _pallas_s2_applicable(x: jnp.ndarray, kernel: jnp.ndarray,
 
     k = kernel.shape[-1]
     cin, dd, h, w = x.shape[1], x.shape[2], x.shape[3], x.shape[4]
-    if not (_PALLAS_CONV and not _is_cpu() and supports_s2(cin, k, 2, h, w)):
+    if not (_PALLAS_CONV and (not _is_cpu() or _interpret_ok())
+            and supports_s2(cin, k, 2, h, w)):
         return False
     if d_padding == 0:  # VALID: kernel contract needs 2·D'+1 input planes
         return dd % 2 == 1 and dd >= 3
@@ -91,7 +99,7 @@ def chain_pallas_ok(chain: Sequence[Tuple], h: int, w: int) -> bool:
     from .pallas.conv3d_k3 import _is_cpu, supports
     from .pallas.conv3d_k3s2 import supports_s2
 
-    if not _PALLAS_CONV or _is_cpu():
+    if not _PALLAS_CONV or (_is_cpu() and not _interpret_ok()):
         return False
     hh, ww = h, w
     for op in chain:
@@ -202,6 +210,52 @@ def _group_sums(h: jnp.ndarray, groups: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     cs2 = jnp.sum(lax.square(hf), axis=(2, 3, 4))  # (B, C)
     return (cs1.reshape(B, groups, -1).sum(-1),
             cs2.reshape(B, groups, -1).sum(-1))
+
+
+def _fold_conv_gn(seg: Sequence[Tuple], stats: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
+                  batch: int) -> Tuple[List[Tuple], List[Tuple]]:
+    """Fold conv→gn pairs into a single conv with stats-scaled weights.
+
+    GroupNorm with KNOWN global stats is a per-(B, channel) affine
+    y = a·h + b with a = inv·γ, b = β − mean·inv·γ. When the conv output
+    feeds the gn directly and B == 1, the affine commutes into the conv:
+    scale the kernel's output-channel axis by `a` and set the bias to
+    a·bias + b. This deletes an entire whole-volume elementwise pass per
+    GroupNorm (the multiply_multiply fusions that cost ~47 ms/step in the
+    stage-3 device trace) — the fold itself touches only the (O,I,3,3,3)
+    weight tensor. Returns (folded ops, stats for the gns that remain).
+    """
+    out: List[Tuple] = []
+    rem_stats: List[Tuple] = []
+    gn_i = 0
+    i = 0
+    while i < len(seg):
+        op = seg[i]
+        if (op[0] == "conv" and batch == 1 and i + 1 < len(seg)
+                and seg[i + 1][0] == "gn"):
+            _, kernel, bias, stride = op
+            _, groups, scale, gbias = seg[i + 1]
+            mean, inv = stats[gn_i]
+            gn_i += 1
+            C = kernel.shape[0]
+            per_ch = C // groups
+            m = jnp.repeat(mean.reshape(-1), per_ch).astype(jnp.float32)
+            iv = jnp.repeat(inv.reshape(-1), per_ch).astype(jnp.float32)
+            a = iv * scale.astype(jnp.float32)
+            b = gbias.astype(jnp.float32) - m * a
+            k2 = kernel.astype(jnp.float32) * a[:, None, None, None, None]
+            b0 = bias.astype(jnp.float32) if bias is not None else 0.0
+            out.append(("conv", k2, a * b0 + b, stride))
+            i += 2
+        elif op[0] == "gn":
+            rem_stats.append(stats[gn_i])
+            gn_i += 1
+            out.append(op)
+            i += 1
+        else:
+            out.append(op)
+            i += 1
+    return out, rem_stats
 
 
 def chain_arrays(chain: Sequence[Tuple]) -> List[jnp.ndarray]:
@@ -362,6 +416,131 @@ def _run_prefix(islab: jnp.ndarray, chain: Sequence[Tuple], upto: int,
     return h
 
 
+# --------------------------------------------------------------------------
+# Flat-layout streamed body. The Pallas conv kernels operate on rank-3
+# (B, C, D·H·W) operands whose TPU tiling is (C sublanes, flat lanes); the
+# rank-5 NCDHW view tiles (H, W) instead — PHYSICALLY different, so every
+# rank-5↔rank-3 boundary inside a slab body is a full-slab relayout (the
+# stage-3 device trace showed ~124 ms/step of `reshape`+`copy` HLOs from
+# exactly this). These helpers keep the ENTIRE slab body — halo slicing,
+# coordinate masking, convs, GroupNorm affine, activations, stats — in the
+# flat layout; rank-5 appears only at the chain input and final output.
+# --------------------------------------------------------------------------
+
+
+def _slice_slab_flat(srcf: jnp.ndarray, j, F: int, sd: int, c_lo: int,
+                     ext: int, hw: int, dsrc: int) -> jnp.ndarray:
+    """_slice_slab on a flat (B, C, D·H·W) source: D-plane r ↔ lane window
+    [r·hw, (r+1)·hw). Same clamped-slice + coordinate-aligning-roll scheme
+    (rows rotated in are garbage-but-masked, see _slice_slab)."""
+    B, C = srcf.shape[0], srcf.shape[1]
+    s_lo = j * (F * sd) + c_lo
+    if ext > dsrc:  # degenerate (tiny test volumes): pad for real
+        pad_lo = max(0, -c_lo)
+        xp = jnp.pad(srcf, ((0, 0), (0, 0), (pad_lo * hw, ext * hw)))
+        return lax.dynamic_slice(
+            xp, (0, 0, (s_lo + pad_lo) * hw), (B, C, ext * hw))
+    p = jnp.clip(s_lo, 0, dsrc - ext)
+    islab = lax.dynamic_slice(srcf, (0, 0, p * hw), (B, C, ext * hw))
+    return jnp.roll(islab, (p - s_lo) * hw, axis=2)
+
+
+def _mask_outside_flat(h: jnp.ndarray, lo, level_d: int, d_cur: int,
+                       hw: int) -> jnp.ndarray:
+    """_mask_outside on a flat slab: the D coordinate of lane l is l // hw
+    (hw = H·W is a power of two at the cascade shapes, so the divide fuses
+    as a shift in the masking elementwise op)."""
+    coords = lo + lax.iota(jnp.int32, d_cur * hw) // hw
+    valid = (coords >= 0) & (coords < level_d)
+    return h * valid.astype(h.dtype)[None, None, :]
+
+
+def _gn_affine_flat(x: jnp.ndarray, groups: int, scale: jnp.ndarray,
+                    bias: jnp.ndarray, mean: jnp.ndarray,
+                    inv: jnp.ndarray) -> jnp.ndarray:
+    """GroupNorm with known global stats as a per-(B, channel) affine on the
+    flat layout: y = a·x + b with a = inv·γ, b = β − mean·a. Channels are
+    the sublane dim, so the broadcast is layout-native (no group reshape,
+    which would relayout the slab). Matches _gn_normalize to within one
+    fused-multiply reassociation."""
+    C = x.shape[1]
+    per = C // groups
+    m = jnp.repeat(mean, per, axis=1).astype(jnp.float32)    # (B, C)
+    iv = jnp.repeat(inv, per, axis=1).astype(jnp.float32)
+    a = iv * scale.astype(jnp.float32)[None, :]
+    b = bias.astype(jnp.float32)[None, :] - m * a
+    return x * a.astype(x.dtype)[:, :, None] + b.astype(x.dtype)[:, :, None]
+
+
+def _group_sums_flat(h: jnp.ndarray, groups: int):
+    """_group_sums on a flat (B, C, L) slab: reduce the lane dim first
+    (layout-native), then fold channels into groups."""
+    B = h.shape[0]
+    hf = h.astype(jnp.float32)
+    cs1 = jnp.sum(hf, axis=2)              # (B, C)
+    cs2 = jnp.sum(lax.square(hf), axis=2)  # (B, C)
+    return (cs1.reshape(B, groups, -1).sum(-1),
+            cs2.reshape(B, groups, -1).sum(-1))
+
+
+def _conv_flat(h: jnp.ndarray, dims: Tuple[int, int, int], kernel: jnp.ndarray,
+               bias, stride: int, dtype) -> jnp.ndarray:
+    """Dispatch one conv on a flat slab: k1 → channel dot_general (already
+    layout-native), k3 s1/s2 → the flat Pallas kernels."""
+    d, H, W = dims
+    k = kernel.shape[-1]
+    if k == 1 and stride == 1:
+        B = h.shape[0]
+        wmat = kernel.reshape(kernel.shape[0], kernel.shape[1]).astype(dtype)
+        out = lax.dot_general(
+            wmat, h.astype(dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (O, B, L)
+        out = jnp.moveaxis(out, 0, 1).astype(dtype)
+        if bias is not None:
+            out = out + bias.astype(out.dtype)[None, :, None]
+        return out
+    from .pallas.conv3d_k3 import conv3d_k3s1_flat
+    from .pallas.conv3d_k3s2 import conv3d_k3s2_flat
+
+    b = bias if bias is not None else jnp.zeros((kernel.shape[0],), jnp.float32)
+    if stride == 1:
+        return conv3d_k3s1_flat((d, H, W), h.astype(dtype),
+                                kernel.astype(dtype), b)
+    return conv3d_k3s2_flat((d, H, W), h.astype(dtype),
+                            kernel.astype(dtype), b)
+
+
+def _run_prefix_flat(h: jnp.ndarray, seg: Sequence[Tuple],
+                     stats: List[Optional[Tuple[jnp.ndarray, jnp.ndarray]]],
+                     dtype, lo, level_d: int,
+                     dims: Tuple[int, int, int]) -> jnp.ndarray:
+    """_run_prefix on a flat D-extended slab; `dims` = (D rows, H, W) of
+    `h`, walked forward through the (already conv-gn-folded) segment."""
+    d_cur, H, W = dims
+    gn_i = 0
+    for op in seg:
+        if op[0] == "conv":
+            _, kernel, bias, stride = op
+            k = kernel.shape[-1]
+            h = _mask_outside_flat(h, lo, level_d, d_cur, H * W)
+            h = _conv_flat(h, (d_cur, H, W), kernel, bias, stride, dtype)
+            if k == 3:
+                d_cur = d_cur - 2 if stride == 1 else (d_cur - 1) // 2
+                lo = lo + 1  # first VALID output coord (= window center for s2)
+            if stride == 2:
+                lo = lo // 2  # center → output index (centers even by alignment)
+                level_d = level_d // 2
+                H, W = H // 2, W // 2
+        elif op[0] == "gn":
+            _, groups, scale, bias = op
+            mean, inv = stats[gn_i]
+            gn_i += 1
+            h = _gn_affine_flat(h, groups, scale, bias, mean, inv)
+        else:
+            h = _act(op[1], h)
+    return h
+
+
 def chain_apply_slab(x: jnp.ndarray, chain: Sequence[Tuple], num_slabs: int = 8,
                      dtype=None) -> jnp.ndarray:
     """Streaming evaluation: identical math to chain_apply_dense, but no
@@ -388,10 +567,12 @@ def chain_apply_slab(x: jnp.ndarray, chain: Sequence[Tuple], num_slabs: int = 8,
         if upto is not None:
             groups = chain[upto][1]
 
+        seg, seg_stats = _fold_conv_gn(chain[:end], stats, B)
+
         @jax.checkpoint
         def body(carry, j):
             islab = _slice_slab(x, j, F, sd, c_lo, ext)
-            h = _run_prefix(islab, chain, end, stats, dtype,
+            h = _run_prefix(islab, seg, len(seg), seg_stats, dtype,
                             j * (F * sd) + c_lo, x.shape[2],
                             allow_pallas=allow_pallas)
             if upto is None:
@@ -468,13 +649,25 @@ def chain_apply_streamed(x: jnp.ndarray, chain: Sequence[Tuple], num_slabs: int 
                   for i in range(src_idx, n_ops + 1)]
         return all(D * H * W <= dense_max_voxels for (_, D, H, W) in levels)
 
-    def stream_pass(src, src_idx: int, end: int, emit: bool, want_stats: bool):
+    def stream_pass(src, src_shape, src_flat: bool, src_idx: int, end: int,
+                    emit: bool, want_stats: bool):
         """Run chain[src_idx:end] slab-streamed over `src`. Returns
-        (endpoint | None, (mean, inv) | None)."""
+        (endpoint | None, endpoint_is_flat, (mean, inv) | None).
+
+        Pallas-eligible segments run entirely in the flat (B, C, D·H·W)
+        layout (_run_prefix_flat) — slicing, masking, convs, GN and stats
+        all share the kernels' (C, lanes) tiling, so the body executes with
+        ZERO relayouts; XLA-conv segments keep the rank-5 body."""
         seg_stats = [stats_by_pos[p] for p in gn_positions if src_idx <= p < end]
-        allow_pallas = chain_pallas_ok(chain[src_idx:end],
-                                       src.shape[3], src.shape[4])
-        C_out, D_out, H_out, W_out = _level_shape(chain, end, src.shape, start=src_idx)
+        seg, seg_stats = _fold_conv_gn(chain[src_idx:end], seg_stats, B)
+        use_flat = chain_pallas_ok(chain[src_idx:end],
+                                   src_shape[3], src_shape[4])
+        dsrc, Hs, Ws = src_shape[2], src_shape[3], src_shape[4]
+        if use_flat and not src_flat:
+            src = src.reshape(B, src_shape[1], dsrc * Hs * Ws)
+        elif not use_flat and src_flat:
+            src = src.reshape(src_shape)
+        C_out, D_out, H_out, W_out = _level_shape(chain, end, src_shape, start=src_idx)
         n = num_slabs
         while D_out % n:
             n //= 2
@@ -487,12 +680,17 @@ def chain_apply_streamed(x: jnp.ndarray, chain: Sequence[Tuple], num_slabs: int 
 
         @jax.checkpoint
         def body(carry, j):
-            islab = _slice_slab(src, j, F, sd, c_lo, ext)
-            h = _run_prefix(islab, chain, end, seg_stats, dtype,
-                            j * (F * sd) + c_lo, src.shape[2], start=src_idx,
-                            allow_pallas=allow_pallas)
+            if use_flat:
+                islab = _slice_slab_flat(src, j, F, sd, c_lo, ext, Hs * Ws, dsrc)
+                h = _run_prefix_flat(islab, seg, seg_stats, dtype,
+                                     j * (F * sd) + c_lo, dsrc, (ext, Hs, Ws))
+            else:
+                islab = _slice_slab(src, j, F, sd, c_lo, ext)
+                h = _run_prefix(islab, seg, len(seg), seg_stats, dtype,
+                                j * (F * sd) + c_lo, dsrc, start=0,
+                                allow_pallas=False)
             if want_stats:
-                g1, g2 = _group_sums(h, groups)
+                g1, g2 = (_group_sums_flat if use_flat else _group_sums)(h, groups)
                 carry = (carry[0] + g1, carry[1] + g2)
             return carry, (h if emit else None)
 
@@ -500,24 +698,32 @@ def chain_apply_streamed(x: jnp.ndarray, chain: Sequence[Tuple], num_slabs: int 
         carry, ys = lax.scan(body, init, jnp.arange(n))
         out = None
         if emit:
-            out = jnp.moveaxis(ys, 0, 2).reshape(B, C_out, D_out, H_out, W_out)
+            if use_flat:  # ys (n, B, C, sd·H·W) → flat (B, C, D·H·W)
+                out = jnp.moveaxis(ys, 0, 2).reshape(
+                    B, C_out, D_out * H_out * W_out)
+            else:
+                out = jnp.moveaxis(ys, 0, 2).reshape(B, C_out, D_out, H_out, W_out)
         st = None
         if want_stats:
             count = (C_out // groups) * D_out * H_out * W_out
             st = _stats_from_sums(carry[0], carry[1], float(count))
-        return out, st
+        return out, use_flat, st
 
-    src, src_idx = x, 0
+    src, src_shape, src_flat, src_idx = x, x.shape, False, 0
     for b in boundaries:
-        if remaining_fits_dense(src_idx, src.shape):
+        if remaining_fits_dense(src_idx, src_shape):
+            if src_flat:
+                src = src.reshape(src_shape)
             return chain_apply_dense(src, list(chain[src_idx:]), dtype)
         is_final = b == n_ops
-        seg_flops = _conv_flops(chain, src_idx, b, src.shape)
+        seg_flops = _conv_flops(chain, src_idx, b, src_shape)
         store = is_final or seg_flops >= store_min_flops
-        out, st = stream_pass(src, src_idx, b, emit=store, want_stats=not is_final)
+        out, out_flat, st = stream_pass(src, src_shape, src_flat, src_idx, b,
+                                        emit=store, want_stats=not is_final)
+        out_shape = (B,) + tuple(_level_shape(chain, b, src_shape, start=src_idx))
         if is_final:
-            return out
+            return out.reshape(out_shape) if out_flat else out
         stats_by_pos[b] = st
         if store:
-            src, src_idx = out, b
+            src, src_shape, src_flat, src_idx = out, out_shape, out_flat, b
     raise AssertionError("unreachable")

@@ -140,6 +140,64 @@ class TestChainEquality:
         np.testing.assert_allclose(np.asarray(slab), np.asarray(dense), rtol=2e-5, atol=2e-5)
 
 
+FLAT_S1_SPEC = [  # every conv Pallas-eligible at W=128 → flat-layout body
+    ("conv", 6, 1, 3, 1), ("gn", 6, 3), ("act", "gelu"),
+    ("conv", 4, 6, 3, 1), ("gn", 4, 2), ("act", "gelu"),
+    ("conv", 2, 4, 1, 1),
+]
+FLAT_S2_SPEC = [  # stride-2 requires W % 256 == 0
+    ("conv", 6, 1, 3, 1), ("gn", 6, 3), ("act", "gelu"),
+    ("conv", 8, 6, 3, 2),
+]
+
+
+class TestFlatStreamedBody:
+    """The flat-layout streamed body (Pallas kernels + conv-gn folding) is
+    TPU-only in production; HVC_PALLAS_INTERPRET=1 runs the same code path
+    on CPU through the kernels' interpret mode."""
+
+    @pytest.mark.parametrize("spec,shape,num_slabs", [
+        (FLAT_S1_SPEC, (1, 1, 8, 4, 128), 4),
+        (FLAT_S1_SPEC, (2, 1, 8, 4, 128), 2),   # B=2: conv-gn fold disabled
+        (FLAT_S2_SPEC, (1, 1, 8, 4, 256), 2),
+    ])
+    def test_flat_values_match_dense(self, rng, monkeypatch, spec, shape, num_slabs):
+        chain = _make_chain(rng, spec)
+        x = jnp.asarray(rng.normal(0, 1, shape), jnp.float32)
+        dense = chain_apply_dense(x, chain)  # XLA path (env not yet set)
+        monkeypatch.setenv("HVC_PALLAS_INTERPRET", "1")
+        for kw in (dict(store_min_flops=0.0, dense_max_voxels=0),
+                   dict(store_min_flops=1e30, dense_max_voxels=0)):
+            got = chain_apply_streamed(x, chain, num_slabs, **kw)
+            assert got.shape == dense.shape
+            np.testing.assert_allclose(np.asarray(got), np.asarray(dense),
+                                       rtol=2e-5, atol=2e-5, err_msg=str(kw))
+
+    def test_flat_gradients_match_dense(self, rng, monkeypatch):
+        chain = _make_chain(rng, FLAT_S1_SPEC)
+        x = jnp.asarray(rng.normal(0, 1, (1, 1, 8, 4, 128)), jnp.float32)
+        cot = jnp.asarray(rng.normal(0, 1, (1, 2, 8, 4, 128)), jnp.float32)
+        arrays = [p for op in chain for p in op[1:] if isinstance(p, jnp.ndarray)]
+
+        def rebuild(arrs):
+            it = iter(arrs)
+            return [tuple(next(it) if isinstance(p, jnp.ndarray) else p for p in op)
+                    for op in chain]
+
+        def loss(fn):
+            return lambda x, arrs: jnp.sum(fn(x, rebuild(arrs)) * cot)
+
+        gx_d, gc_d = jax.grad(loss(chain_apply_dense), argnums=(0, 1))(x, arrays)
+        monkeypatch.setenv("HVC_PALLAS_INTERPRET", "1")
+        gx_s, gc_s = jax.grad(
+            loss(lambda x, c: chain_apply_streamed(x, c, 4, store_min_flops=0.0,
+                                                   dense_max_voxels=0)),
+            argnums=(0, 1))(x, arrays)
+        np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_d), rtol=5e-5, atol=5e-5)
+        for got, want in zip(gc_s, gc_d):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=5e-5, atol=5e-5)
+
+
 class TestStage3SlabParity:
     def test_stage3_refiner_slab_vs_dense(self, rng):
         """Same params, same output: the slab flag is a pure scheduling
