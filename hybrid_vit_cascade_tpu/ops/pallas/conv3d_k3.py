@@ -127,8 +127,50 @@ def _pack_weights_taps(w: jnp.ndarray, dtype, k_rows: int):
     return jnp.pad(wt, ((0, 0), (0, k_rows - 27 * cin)))
 
 
+def _stitch_z(s_ref, mains, lefts, rights, cin: int, W: int, L: int,
+              v, vp: int, msk_ref):
+    """Shared z-plane stitch: per z-offset write [left-edge | main | right-
+    edge] rows into scratch, zeroing (a) clamped y-edge loads at plane
+    bounds and (b) whole z-planes whose REAL input-plane index q = v + z − vp
+    falls outside the valid window [msk[0], msk[1]) — this implements both
+    the virtual D-padding of the dgrad (planes past the array) and the
+    chains' out-of-volume coordinate masking IN the kernel, replacing a
+    whole-slab elementwise mask pass per conv (~25 ms/step at stage 3)."""
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    vlo = msk_ref[0, 0]
+    vhi = msk_ref[0, 1]
+    for z in range(3):
+        q = v + z - vp
+        zok = (q >= vlo) & (q < vhi)
+        left = lefts[z][0, :, :]
+        right = rights[z][0, :, :]
+        zero = jnp.zeros((), left.dtype)
+        s_ref[pl.ds(z * cin, cin), 0:W] = jnp.where(zok & (j > 0), left, zero)
+        s_ref[pl.ds(z * cin, cin), W:W + L] = jnp.where(
+            zok, mains[z][0, :, :], zero)
+        s_ref[pl.ds(z * cin, cin), W + L:] = jnp.where(
+            zok & (j < nj - 1), right, zero)
+
+
+def _emit_out(o_ref, sums_ref, acc, v, msk_ref, out_dtype):
+    """Shared epilogue: zero output planes outside the [msk[2], msk[3])
+    window (the dgrad's dx rows at out-of-volume coordinates must be exact
+    zeros so upstream weight gradients see no contamination), then
+    optionally emit per-channel f32 (sum, sum-of-squares) of the written
+    block — the GroupNorm statistics accumulate as a kernel by-product
+    instead of a separate whole-slab read-back pass."""
+    ook = (v >= msk_ref[0, 2]) & (v < msk_ref[0, 3])
+    outv = jnp.where(ook, acc, 0.0).astype(out_dtype)
+    o_ref[0, :, :] = outv
+    if sums_ref is not None:
+        of = outv.astype(jnp.float32)
+        sums_ref[0, 0, :, :] = jnp.stack(
+            [jnp.sum(of, axis=1), jnp.sum(of * of, axis=1)])
+
+
 def _conv_kernel_smallcin(cin: int, cout: int, L: int, W: int, k_rows: int,
-                          out_dtype, *refs):
+                          D: int, vp: int, want_sums: bool, out_dtype, *refs):
     """Small-cin variant: ONE (Cout, 27·Cin)@(27·Cin, L) MXU dot per block.
 
     The generic kernel's per-(dx, dy) dots have K = 2·Cin / Cin; at Cin ≤ 4
@@ -137,21 +179,17 @@ def _conv_kernel_smallcin(cin: int, cout: int, L: int, W: int, k_rows: int,
     block size. Here all 27 taps are stitched into explicit K rows (dz/dy via
     aligned scratch slices, dx via one masked lane-roll per row triple), so
     the contraction depth is 27·Cin and the dot runs on the MXU."""
-    (m0, m1, m2, l0, l1, l2, r0, r1, r2, wk_ref, b_ref,
-     o_ref, s_ref, k_ref) = refs
-    j = pl.program_id(1)
-    nj = pl.num_programs(1)
+    if want_sums:
+        (m0, m1, m2, l0, l1, l2, r0, r1, r2, msk_ref, wk_ref, b_ref,
+         o_ref, sums_ref, s_ref, k_ref) = refs
+    else:
+        (m0, m1, m2, l0, l1, l2, r0, r1, r2, msk_ref, wk_ref, b_ref,
+         o_ref, s_ref, k_ref) = refs[:15]
+        sums_ref = None
+    v = pl.program_id(0) % D
 
-    mains = (m0, m1, m2)
-    lefts = (l0, l1, l2)
-    rights = (r0, r1, r2)
-    for z in range(3):
-        left = lefts[z][0, :, :]
-        right = rights[z][0, :, :]
-        zero = jnp.zeros((), left.dtype)
-        s_ref[pl.ds(z * cin, cin), 0:W] = jnp.where(j > 0, left, zero)
-        s_ref[pl.ds(z * cin, cin), W:W + L] = mains[z][0, :, :]
-        s_ref[pl.ds(z * cin, cin), W + L:] = jnp.where(j < nj - 1, right, zero)
+    _stitch_z(s_ref, (m0, m1, m2), (l0, l1, l2), (r0, r1, r2),
+              cin, W, L, v, vp, msk_ref)
 
     lane = lax.broadcasted_iota(jnp.int32, (1, L), 1) % W
     zero = jnp.zeros((), s_ref.dtype)
@@ -173,7 +211,7 @@ def _conv_kernel_smallcin(cin: int, cout: int, L: int, W: int, k_rows: int,
         wk_ref[...], k_ref[...],
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     acc += b_ref[:, :].astype(jnp.float32)
-    o_ref[0, :, :] = acc.astype(out_dtype)
+    _emit_out(o_ref, sums_ref, acc, v, msk_ref, out_dtype)
 
 
 def _pack_weights_ztriple(w: jnp.ndarray, dtype):
@@ -188,24 +226,21 @@ def _pack_weights_ztriple(w: jnp.ndarray, dtype):
     return wt.reshape(3, 3, cout, 3 * cin)
 
 
-def _conv_kernel_ztriple(cin: int, cout: int, L: int, W: int, out_dtype,
-                         *refs):
+def _conv_kernel_ztriple(cin: int, cout: int, L: int, W: int, D: int,
+                         vp: int, want_sums: bool, out_dtype, *refs):
     """z-triple variant of _conv_kernel: one (Cout, 3Cin)@(3Cin, L) dot per
     (dx, dy) tap column (applicable when 3·Cin ≤ 128)."""
-    (m0, m1, m2, l0, l1, l2, r0, r1, r2, wz_ref, b_ref, o_ref, s_ref) = refs
-    j = pl.program_id(1)
-    nj = pl.num_programs(1)
+    if want_sums:
+        (m0, m1, m2, l0, l1, l2, r0, r1, r2, msk_ref, wz_ref, b_ref,
+         o_ref, sums_ref, s_ref) = refs
+    else:
+        (m0, m1, m2, l0, l1, l2, r0, r1, r2, msk_ref, wz_ref, b_ref,
+         o_ref, s_ref) = refs[:14]
+        sums_ref = None
+    v = pl.program_id(0) % D
 
-    mains = (m0, m1, m2)
-    lefts = (l0, l1, l2)
-    rights = (r0, r1, r2)
-    for z in range(3):
-        left = lefts[z][0, :, :]
-        right = rights[z][0, :, :]
-        zero = jnp.zeros((), left.dtype)
-        s_ref[pl.ds(z * cin, cin), 0:W] = jnp.where(j > 0, left, zero)
-        s_ref[pl.ds(z * cin, cin), W:W + L] = mains[z][0, :, :]
-        s_ref[pl.ds(z * cin, cin), W + L:] = jnp.where(j < nj - 1, right, zero)
+    _stitch_z(s_ref, (m0, m1, m2), (l0, l1, l2), (r0, r1, r2),
+              cin, W, L, v, vp, msk_ref)
 
     acc = jnp.broadcast_to(b_ref[:, :].astype(jnp.float32), (cout, L))
     lane = lax.broadcasted_iota(jnp.int32, (1, L), 1) % W
@@ -222,26 +257,22 @@ def _conv_kernel_ztriple(cin: int, cout: int, L: int, W: int, out_dtype,
             acc += p
         else:
             acc += jnp.where(lane == W - 1, 0.0, jnp.roll(p, -1, axis=1))
-    o_ref[0, :, :] = acc.astype(out_dtype)
+    _emit_out(o_ref, sums_ref, acc, v, msk_ref, out_dtype)
 
 
-def _conv_kernel(cin: int, cout: int, L: int, W: int, out_dtype,
-                 *refs):
-    (m0, m1, m2, l0, l1, l2, r0, r1, r2, wp_ref, ws_ref, b_ref,
-     o_ref, s_ref) = refs
-    j = pl.program_id(1)
-    nj = pl.num_programs(1)
+def _conv_kernel(cin: int, cout: int, L: int, W: int, D: int,
+                 vp: int, want_sums: bool, out_dtype, *refs):
+    if want_sums:
+        (m0, m1, m2, l0, l1, l2, r0, r1, r2, msk_ref, wp_ref, ws_ref, b_ref,
+         o_ref, sums_ref, s_ref) = refs
+    else:
+        (m0, m1, m2, l0, l1, l2, r0, r1, r2, msk_ref, wp_ref, ws_ref, b_ref,
+         o_ref, s_ref) = refs[:15]
+        sums_ref = None
+    v = pl.program_id(0) % D
 
-    mains = (m0, m1, m2)
-    lefts = (l0, l1, l2)
-    rights = (r0, r1, r2)
-    for z in range(3):
-        left = lefts[z][0, :, :]
-        right = rights[z][0, :, :]
-        zero = jnp.zeros((), left.dtype)
-        s_ref[pl.ds(z * cin, cin), 0:W] = jnp.where(j > 0, left, zero)
-        s_ref[pl.ds(z * cin, cin), W:W + L] = mains[z][0, :, :]
-        s_ref[pl.ds(z * cin, cin), W + L:] = jnp.where(j < nj - 1, right, zero)
+    _stitch_z(s_ref, (m0, m1, m2), (l0, l1, l2), (r0, r1, r2),
+              cin, W, L, v, vp, msk_ref)
 
     acc = jnp.broadcast_to(b_ref[:, :].astype(jnp.float32), (cout, L))
     lane = lax.broadcasted_iota(jnp.int32, (1, L), 1) % W
@@ -261,43 +292,68 @@ def _conv_kernel(cin: int, cout: int, L: int, W: int, out_dtype,
             acc += p
         else:
             acc += jnp.where(lane == W - 1, 0.0, jnp.roll(p, -1, axis=1))
-    o_ref[0, :, :] = acc.astype(out_dtype)
+    _emit_out(o_ref, sums_ref, acc, v, msk_ref, out_dtype)
 
 
-def _x_specs(cin: int, D: int, L: int, W: int, E: int):
+def _x_specs(cin: int, D: int, L: int, W: int, E: int, dext: int,
+             vp: int = 0):
     """Nine input specs over x flattened to (B, Cin, Dext·H·W) — folding D
     into the lane dim keeps the block's trailing dims (Cin, L), which is
     what the TPU lowering requires, with no host-side transpose. Per
     z-offset r ∈ {0,1,2}: a main L-lane block plus W-wide left/right y-halo
     edge blocks (clamped at plane boundaries; the kernel zero-masks the
-    clamped loads)."""
+    clamped loads). With virtual D-padding (vp > 0) the plane index
+    v + r − vp is clamped into [0, dext) and the kernel zero-masks
+    out-of-range planes — no materialized zero-padded copy of x (the
+    dgrad's pad cost ~25 ms/step at stage 3)."""
     lw = L // W
     jl = (W * E) // L  # lane blocks per (b, z) plane
+
+    def plane(bd, r):
+        return jnp.clip(bd % D + r - vp, 0, dext - 1)
+
     specs = []
     for r in (0, 1, 2):
         specs.append(pl.BlockSpec(
             (1, cin, L),
             functools.partial(
-                lambda r, bd, j: (bd // D, 0, (bd % D + r) * jl + j), r)))
+                lambda r, bd, j: (bd // D, 0, plane(bd, r) * jl + j), r)))
     for r in (0, 1, 2):
         specs.append(pl.BlockSpec(
             (1, cin, W),
             functools.partial(
                 lambda r, bd, j: (bd // D, 0,
-                                  (bd % D + r) * E
+                                  plane(bd, r) * E
                                   + jnp.maximum(j * lw - 1, 0)), r)))
     for r in (0, 1, 2):
         specs.append(pl.BlockSpec(
             (1, cin, W),
             functools.partial(
                 lambda r, bd, j: (bd // D, 0,
-                                  (bd % D + r) * E
+                                  plane(bd, r) * E
                                   + jnp.minimum((j + 1) * lw, E - 1)), r)))
     return specs
 
 
+_NOMASK = (-(2 ** 30), 2 ** 30)
+
+
+def _window_arr(dext: int, window) -> jnp.ndarray:
+    """(1, 4) i32 [vlo, vhi, olo, ohi] for the kernels' SMEM mask input.
+    window=None → all input planes valid, no output masking."""
+    if window is None:
+        return jnp.array([[0, dext, _NOMASK[0], _NOMASK[1]]], jnp.int32)
+    return jnp.stack(window).astype(jnp.int32).reshape(1, 4)
+
+
+def _msk_spec():
+    return pl.BlockSpec((1, 4), lambda bd, j: (0, 0),
+                        memory_space=pltpu.SMEM)
+
+
 def _conv_fwd(xf: jnp.ndarray, dims: tuple, w: jnp.ndarray, bias: jnp.ndarray,
-              interpret: bool) -> jnp.ndarray:
+              interpret: bool, vp: int = 0, window=None,
+              want_sums: bool = False):
     """xf: (B, Cin, (D+2)·H·W) VALID in D / SAME in H,W → (B, Cout, D·H·W).
 
     Flat rank-3 I/O end to end: the kernel's (Cin, lanes) operand layout is
@@ -308,91 +364,107 @@ def _conv_fwd(xf: jnp.ndarray, dims: tuple, w: jnp.ndarray, bias: jnp.ndarray,
     dext, H, W = dims
     B, cin = xf.shape[0], xf.shape[1]
     cout = w.shape[0]
-    D = dext - 2
+    D = dext - 2 + 2 * vp
     L = _lane_block(H, W, cin, cout)
     E = (H * W) // W
+    nj = (H * W) // L
     b2 = bias.astype(jnp.float32).reshape(cout, 1)
+    msk = _window_arr(dext, window)
+
+    def _outs():
+        shapes = [jax.ShapeDtypeStruct((B, cout, D * H * W), xf.dtype)]
+        specs = [pl.BlockSpec(
+            (1, cout, L),
+            lambda bd, j: (bd // D, 0, (bd % D) * nj + j))]
+        if want_sums:
+            shapes.append(jax.ShapeDtypeStruct((B * D, nj, 2, cout), jnp.float32))
+            specs.append(pl.BlockSpec((1, 1, 2, cout),
+                                      lambda bd, j: (bd, j, 0, 0)))
+        return (tuple(shapes), tuple(specs)) if want_sums else (shapes[0], specs[0])
+
+    def _post(res):
+        if not want_sums:
+            return res
+        out, parts = res
+        ps = parts.reshape(B, D, nj, 2, cout).sum(axis=(1, 2))  # (B, 2, Cout)
+        return out, ps[:, 0], ps[:, 1]
+
+    out_shape, out_specs = _outs()
 
     if cin <= SMALLCIN_MAX:
         k_rows = 27 * cin
         wk = _pack_weights_taps(w, xf.dtype, k_rows)
         out = pl.pallas_call(
             functools.partial(_conv_kernel_smallcin, cin, cout, L, W, k_rows,
-                              xf.dtype),
-            grid=(B * D, (H * W) // L),
-            in_specs=_x_specs(cin, D, L, W, E) + [
+                              D, vp, want_sums, xf.dtype),
+            grid=(B * D, nj),
+            in_specs=_x_specs(cin, D, L, W, E, dext, vp) + [
+                _msk_spec(),
                 pl.BlockSpec((cout, k_rows), lambda bd, j: (0, 0)),
                 pl.BlockSpec((cout, 1), lambda bd, j: (0, 0)),
             ],
-            out_specs=pl.BlockSpec(
-                (1, cout, L),
-                lambda bd, j: (bd // D, 0, (bd % D) * ((H * W) // L) + j)),
-            out_shape=jax.ShapeDtypeStruct((B, cout, D * H * W), xf.dtype),
+            out_specs=out_specs,
+            out_shape=out_shape,
             scratch_shapes=[pltpu.VMEM((3 * cin, L + 2 * W), xf.dtype),
                             pltpu.VMEM((k_rows, L), xf.dtype)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "parallel")),
             interpret=interpret,
-        )(*([xf] * 9), wk, b2)
-        return out
+        )(*([xf] * 9), msk, wk, b2)
+        return _post(out)
 
     if 3 * cin <= 128:
         wz = _pack_weights_ztriple(w, xf.dtype)
         out = pl.pallas_call(
-            functools.partial(_conv_kernel_ztriple, cin, cout, L, W, xf.dtype),
-            grid=(B * D, (H * W) // L),
-            in_specs=_x_specs(cin, D, L, W, E) + [
+            functools.partial(_conv_kernel_ztriple, cin, cout, L, W,
+                              D, vp, want_sums, xf.dtype),
+            grid=(B * D, nj),
+            in_specs=_x_specs(cin, D, L, W, E, dext, vp) + [
+                _msk_spec(),
                 pl.BlockSpec((3, 3, cout, 3 * cin), lambda bd, j: (0, 0, 0, 0)),
                 pl.BlockSpec((cout, 1), lambda bd, j: (0, 0)),
             ],
-            out_specs=pl.BlockSpec(
-                (1, cout, L),
-                lambda bd, j: (bd // D, 0, (bd % D) * ((H * W) // L) + j)),
-            out_shape=jax.ShapeDtypeStruct((B, cout, D * H * W), xf.dtype),
+            out_specs=out_specs,
+            out_shape=out_shape,
             scratch_shapes=[pltpu.VMEM((3 * cin, L + 2 * W), xf.dtype)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "parallel")),
             interpret=interpret,
-        )(*([xf] * 9), wz, b2)
-        return out
+        )(*([xf] * 9), msk, wz, b2)
+        return _post(out)
 
     wp, ws = _pack_weights(w, xf.dtype)
     out = pl.pallas_call(
-        functools.partial(_conv_kernel, cin, cout, L, W, xf.dtype),
-        grid=(B * D, (H * W) // L),
-        in_specs=_x_specs(cin, D, L, W, E) + [
+        functools.partial(_conv_kernel, cin, cout, L, W,
+                          D, vp, want_sums, xf.dtype),
+        grid=(B * D, nj),
+        in_specs=_x_specs(cin, D, L, W, E, dext, vp) + [
+            _msk_spec(),
             pl.BlockSpec((3, 3, cout, 2 * cin), lambda bd, j: (0, 0, 0, 0)),
             pl.BlockSpec((3, 3, cout, cin), lambda bd, j: (0, 0, 0, 0)),
             pl.BlockSpec((cout, 1), lambda bd, j: (0, 0)),
         ],
-        out_specs=pl.BlockSpec(
-            (1, cout, L),
-            lambda bd, j: (bd // D, 0, (bd % D) * ((H * W) // L) + j)),
-        out_shape=jax.ShapeDtypeStruct((B, cout, D * H * W), xf.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((3 * cin, L + 2 * W), xf.dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "parallel")),
         interpret=interpret,
-    )(*([xf] * 9), wp, ws, b2)
-    return out
+    )(*([xf] * 9), msk, wp, ws, b2)
+    return _post(out)
 
 
-def _wgrad_kernel(cin: int, cout: int, L: int, W: int, *refs):
-    (m0, m1, m2, l0, l1, l2, r0, r1, r2, g_ref, o_ref, s_ref) = refs
+def _wgrad_kernel(cin: int, cout: int, L: int, W: int, D: int, *refs):
+    (m0, m1, m2, l0, l1, l2, r0, r1, r2, msk_ref, g_ref, o_ref, s_ref) = refs
     j = pl.program_id(1)
     nj = pl.num_programs(1)
     step = pl.program_id(0) * nj + j
+    v = pl.program_id(0) % D
 
-    mains = (m0, m1, m2)
-    lefts = (l0, l1, l2)
-    rights = (r0, r1, r2)
-    for z in range(3):
-        left = lefts[z][0, :, :]
-        right = rights[z][0, :, :]
-        zero = jnp.zeros((), left.dtype)
-        s_ref[pl.ds(z * cin, cin), 0:W] = jnp.where(j > 0, left, zero)
-        s_ref[pl.ds(z * cin, cin), W:W + L] = mains[z][0, :, :]
-        s_ref[pl.ds(z * cin, cin), W + L:] = jnp.where(j < nj - 1, right, zero)
+    # x stitched with the same plane-validity window as the forward, so dW
+    # pairs g only with the x the forward actually saw.
+    _stitch_z(s_ref, (m0, m1, m2), (l0, l1, l2), (r0, r1, r2),
+              cin, W, L, v, 0, msk_ref)
 
     g = g_ref[0, :, :]
     lane = lax.broadcasted_iota(jnp.int32, (1, L), 1) % W
@@ -422,7 +494,7 @@ def _wgrad_kernel(cin: int, cout: int, L: int, W: int, *refs):
 
 
 def _wgrad(xf: jnp.ndarray, dims: tuple, gf: jnp.ndarray, cout: int,
-           interpret: bool) -> jnp.ndarray:
+           interpret: bool, window=None) -> jnp.ndarray:
     """dW (Cout, Cin, 3, 3, 3) from flat xf (B, Cin, (D+2)·H·W) and
     gf (B, Cout, D·H·W)."""
     dext, H, W = dims
@@ -430,11 +502,13 @@ def _wgrad(xf: jnp.ndarray, dims: tuple, gf: jnp.ndarray, cout: int,
     D = dext - 2
     L = _lane_block(H, W, cin, cout)
     E = (H * W) // W
+    msk = _window_arr(dext, window)
 
     out = pl.pallas_call(
-        functools.partial(_wgrad_kernel, cin, cout, L, W),
+        functools.partial(_wgrad_kernel, cin, cout, L, W, D),
         grid=(B * D, (H * W) // L),
-        in_specs=_x_specs(cin, D, L, W, E) + [
+        in_specs=_x_specs(cin, D, L, W, E, dext) + [
+            _msk_spec(),
             pl.BlockSpec(
                 (1, cout, L),
                 lambda bd, j: (bd // D, 0, (bd % D) * ((H * W) // L) + j)),
@@ -446,7 +520,7 @@ def _wgrad(xf: jnp.ndarray, dims: tuple, gf: jnp.ndarray, cout: int,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(*([xf] * 9), gf)
+    )(*([xf] * 9), msk, gf)
     # (dx, dy, z·Cin+c, Cout) → (Cout, Cin, dz, dy, dx)
     out = out.reshape(3, 3, 3, cin, cout)
     return jnp.transpose(out, (4, 3, 2, 1, 0))
@@ -474,18 +548,76 @@ def _vjp_bwd(dims, res, g):
     dext, H, W = dims
     cout, cin = w.shape[0], w.shape[1]
     g = g.astype(xf.dtype)
-    # dgrad: conv of g with channel-transposed, tap-flipped weights; pad g
-    # by 2 D-planes (2·H·W lanes) so the VALID output covers xf's D+2 rows.
+    # dgrad: conv of g with channel-transposed, tap-flipped weights;
+    # vp=2 virtual D-padding covers xf's D+2 rows without materializing a
+    # zero-padded copy of g (which cost ~25 ms/step at stage 3).
     wT = jnp.transpose(w, (1, 0, 2, 3, 4))[:, :, ::-1, ::-1, ::-1]
-    gp = jnp.pad(g, ((0, 0), (0, 0), (2 * H * W, 2 * H * W)))
-    dx = _conv_fwd(gp, (dext + 2, H, W), wT, jnp.zeros((cin,), jnp.float32),
-                   interpret=_is_cpu())
+    dx = _conv_fwd(g, (dext - 2, H, W), wT, jnp.zeros((cin,), jnp.float32),
+                   interpret=_is_cpu(), vp=2)
     dw = _wgrad(xf, dims, g, cout, interpret=_is_cpu()).astype(w.dtype)
     db = jnp.sum(g.astype(jnp.float32), axis=(0, 2)).astype(bias.dtype)
     return dx, dw, db
 
 
 conv3d_k3s1_flat.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def conv3d_k3s1_chain(meta: tuple, xf: jnp.ndarray, win: jnp.ndarray,
+                      w: jnp.ndarray, bias: jnp.ndarray):
+    """Slab-chain form of conv3d_k3s1_flat: in-kernel coordinate masking
+    and optional in-kernel GroupNorm statistics.
+
+    meta = (dext, H, W, want_sums) static; win: i32[2] = [vlo, vhi), the
+    valid input-plane window in REAL plane indices (plane q of xf holds
+    global D-coordinate lo + q; the caller passes [−lo, level_d − lo)).
+    Planes outside the window read as zeros — the dense path's per-conv
+    zero padding semantics — replacing the explicit whole-slab mask
+    multiply (ops/slab.py `_mask_outside_flat`). With want_sums the kernel
+    also returns per-channel f32 (sum, sum-of-squares) of the output,
+    accumulated as a kernel by-product for the chains' GroupNorm stats
+    passes (no whole-slab read-back). Returns out | (out, s1, s2) with
+    s1, s2: (B, Cout) f32."""
+    dext, H, W, want_sums = meta
+    window = (win[0], win[1], _NOMASK[0], _NOMASK[1])
+    return _conv_fwd(xf, (dext, H, W), w, bias, interpret=_is_cpu(),
+                     window=window, want_sums=want_sums)
+
+
+def _vjp_fwd_chain(meta, xf, win, w, bias):
+    res = conv3d_k3s1_chain(meta, xf, win, w, bias)
+    out = res[0] if meta[3] else res
+    return res, (xf, win, w, bias, out if meta[3] else None)
+
+
+def _vjp_bwd_chain(meta, res, ct):
+    dext, H, W, want_sums = meta
+    xf, win, w, bias, out = res
+    if want_sums:
+        g, gs1, gs2 = ct
+        # d(s1)/d(out) = 1, d(s2)/d(out) = 2·out — fold the stats
+        # cotangents into the output cotangent.
+        g = (g.astype(jnp.float32) + gs1[:, :, None]
+             + 2.0 * gs2[:, :, None] * out.astype(jnp.float32))
+    else:
+        g = ct
+    g = g.astype(xf.dtype)
+    cout, cin = w.shape[0], w.shape[1]
+    wT = jnp.transpose(w, (1, 0, 2, 3, 4))[:, :, ::-1, ::-1, ::-1]
+    # dgrad with vp=2 virtual padding; dx planes outside the forward's
+    # input window are zeroed IN the kernel (the mask's transpose), so
+    # upstream weight gradients see exact zeros at out-of-volume rows.
+    dx = _conv_fwd(g, (dext - 2, H, W), wT, jnp.zeros((cin,), jnp.float32),
+                   interpret=_is_cpu(), vp=2,
+                   window=(jnp.int32(0), jnp.int32(dext - 2), win[0], win[1]))
+    dw = _wgrad(xf, (dext, H, W), g, cout, interpret=_is_cpu(),
+                window=(win[0], win[1], _NOMASK[0], _NOMASK[1])).astype(w.dtype)
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 2)).astype(bias.dtype)
+    d_win = np.zeros((2,), dtype=jax.dtypes.float0)
+    return dx, d_win, dw, db
+
+
+conv3d_k3s1_chain.defvjp(_vjp_fwd_chain, _vjp_bwd_chain)
 
 
 def conv3d_k3s1_valid_d(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray):

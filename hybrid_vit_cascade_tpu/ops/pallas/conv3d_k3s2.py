@@ -54,6 +54,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+from .conv3d_k3 import _NOMASK, _msk_spec, _window_arr
+
+
 def _is_cpu() -> bool:
     return jax.default_backend() == "cpu"
 
@@ -99,26 +102,38 @@ def _pack_weights_s2(w: jnp.ndarray, dtype):
     return pair, sing
 
 
-def _fwd_kernel(cin: int, cout: int, rp: int, xp: int, w_in: int, out_dtype,
-                *refs):
+def _fwd_kernel(cin: int, cout: int, rp: int, xp: int, w_in: int,
+                dp: int, want_sums: bool, out_dtype, *refs):
     # Inputs: 3 z-plane main blocks (1, C, 2rp·W), 3 z-plane front-edge rows
-    # (1, C, W), S (W, 2Xp), pair/single weights, bias; out (1, Cout, rp·Xp);
-    # scratch s_ref (2·2·3C, (rp+1)·Xp) laid out [py][px][3C] in sublanes.
-    (m0, m1, m2, e0, e1, e2, s_mat, wp_ref, ws_ref, b_ref, o_ref,
-     s_ref) = refs
+    # (1, C, W), mask scalars, S (W, 2Xp), pair/single weights, bias; out
+    # (1, Cout, rp·Xp) (+ optional (1, 1, 2, Cout) stats partials); scratch
+    # s_ref (2·2·3C, (rp+1)·Xp) laid out [py][px][3C] in sublanes.
+    if want_sums:
+        (m0, m1, m2, e0, e1, e2, msk_ref, s_mat, wp_ref, ws_ref, b_ref,
+         o_ref, sums_ref, s_ref) = refs
+    else:
+        (m0, m1, m2, e0, e1, e2, msk_ref, s_mat, wp_ref, ws_ref, b_ref,
+         o_ref, s_ref) = refs[:13]
+        sums_ref = None
     j = pl.program_id(1)
+    v = pl.program_id(0) % dp
+    vlo = msk_ref[0, 0]
+    vhi = msk_ref[0, 1]
     Lp = rp * xp
 
     def srow(py: int, px: int) -> int:
         return (py * 2 + px) * 3 * cin
 
-    # ---- pack stage: parity-split every input row with one MXU dot ----
+    # ---- pack stage: parity-split every input row with one MXU dot;
+    # z-planes whose REAL index q = 2v + r is outside [vlo, vhi) pack as
+    # zeros (in-kernel coordinate masking, see conv3d_k3.py _stitch_z) ----
     for r, (main, edge) in enumerate(((m0, e0), (m1, e1), (m2, e2))):
+        zok = (2 * v + r >= vlo) & (2 * v + r < vhi)
         # front edge row: input y = 2·y'lo − 1 (odd) → py1 scratch row 0
         pk = lax.dot_general(edge[0, :, :], s_mat[...],
                              (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
-        pk = jnp.where(j > 0, pk, 0.0).astype(s_ref.dtype)
+        pk = jnp.where(zok & (j > 0), pk, 0.0).astype(s_ref.dtype)
         s_ref[pl.ds(srow(1, 0) + r * cin, cin), 0:xp] = pk[:, 0:xp]
         s_ref[pl.ds(srow(1, 1) + r * cin, cin), 0:xp] = pk[:, xp:]
         # main rows, (even, odd) pairs stacked into one 2C-row dot
@@ -129,8 +144,8 @@ def _fwd_kernel(cin: int, cout: int, rp: int, xp: int, w_in: int, out_dtype,
                  rows[:, (2 * t + 1) * w_in:(2 * t + 2) * w_in]],
                 axis=0)  # (2C, W): top=even y row, bottom=odd
             pk = lax.dot_general(two, s_mat[...], (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32
-                                 ).astype(s_ref.dtype)
+                                 preferred_element_type=jnp.float32)
+            pk = jnp.where(zok, pk, 0.0).astype(s_ref.dtype)
             s_ref[pl.ds(srow(0, 0) + r * cin, cin),
                   pl.ds(t * xp, xp)] = pk[0:cin, 0:xp]
             s_ref[pl.ds(srow(0, 1) + r * cin, cin),
@@ -161,7 +176,12 @@ def _fwd_kernel(cin: int, cout: int, rp: int, xp: int, w_in: int, out_dtype,
             acc += jnp.where(lane == 0, 0.0, jnp.roll(p, 1, axis=1))
         else:
             acc += p
-    o_ref[0, :, :] = acc.astype(out_dtype)
+    outv = acc.astype(out_dtype)
+    o_ref[0, :, :] = outv
+    if sums_ref is not None:
+        of = outv.astype(jnp.float32)
+        sums_ref[0, 0, :, :] = jnp.stack(
+            [jnp.sum(of, axis=1), jnp.sum(of * of, axis=1)])
 
 
 def _fwd_specs(cin: int, dp: int, rp: int, w_in: int, h_in: int):
@@ -188,7 +208,8 @@ def _fwd_specs(cin: int, dp: int, rp: int, w_in: int, h_in: int):
 
 
 def _conv_fwd_s2(xf: jnp.ndarray, dims: tuple, w: jnp.ndarray,
-                 bias: jnp.ndarray, interpret: bool) -> jnp.ndarray:
+                 bias: jnp.ndarray, interpret: bool, window=None,
+                 want_sums: bool = False):
     """xf: (B, Cin, (2D'+1)·H·W) VALID in D → (B, Cout, D'·(H/2)·(W/2)).
 
     Flat rank-3 I/O like conv3d_k3.py's _conv_fwd — slab-chain bodies stay
@@ -202,26 +223,41 @@ def _conv_fwd_s2(xf: jnp.ndarray, dims: tuple, w: jnp.ndarray,
     wp, ws = _pack_weights_s2(w, xf.dtype)
     b2 = bias.astype(jnp.float32).reshape(cout, 1)
     s_mat = jnp.asarray(_sel_matrix(W, np.float32)).astype(xf.dtype)
+    nj = hp // rp
+    msk = _window_arr(dext, window)
+
+    out_shapes = [jax.ShapeDtypeStruct((B, cout, dp * hp * xp), xf.dtype)]
+    out_specs = [pl.BlockSpec(
+        (1, cout, Lp),
+        lambda bd, j: (bd // dp, 0, (bd % dp) * nj + j))]
+    if want_sums:
+        out_shapes.append(jax.ShapeDtypeStruct((B * dp, nj, 2, cout), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 1, 2, cout),
+                                      lambda bd, j: (bd, j, 0, 0)))
 
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, cin, cout, rp, xp, W, xf.dtype),
-        grid=(B * dp, hp // rp),
+        functools.partial(_fwd_kernel, cin, cout, rp, xp, W, dp, want_sums,
+                          xf.dtype),
+        grid=(B * dp, nj),
         in_specs=_fwd_specs(cin, dp, rp, W, H) + [
+            _msk_spec(),
             pl.BlockSpec((W, 2 * xp), lambda bd, j: (0, 0)),
             pl.BlockSpec((3, 3, cout, 2 * cin), lambda bd, j: (0, 0, 0, 0)),
             pl.BlockSpec((3, 3, cout, cin), lambda bd, j: (0, 0, 0, 0)),
             pl.BlockSpec((cout, 1), lambda bd, j: (0, 0)),
         ],
-        out_specs=pl.BlockSpec(
-            (1, cout, Lp),
-            lambda bd, j: (bd // dp, 0, (bd % dp) * ((hp * xp) // Lp) + j)),
-        out_shape=jax.ShapeDtypeStruct((B, cout, dp * hp * xp), xf.dtype),
+        out_specs=tuple(out_specs) if want_sums else out_specs[0],
+        out_shape=tuple(out_shapes) if want_sums else out_shapes[0],
         scratch_shapes=[pltpu.VMEM((4 * 3 * cin, (rp + 1) * xp), xf.dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "parallel")),
         interpret=interpret,
-    )(*([xf] * 6), s_mat, wp, ws, b2)
-    return out
+    )(*([xf] * 6), msk, s_mat, wp, ws, b2)
+    if not want_sums:
+        return out
+    o, parts = out
+    ps = parts.reshape(B, dp, nj, 2, cout).sum(axis=(1, 2))
+    return o, ps[:, 0], ps[:, 1]
 
 
 # --------------------------------------------------------------------------
@@ -234,10 +270,10 @@ def _conv_fwd_s2(xf: jnp.ndarray, dims: tuple, w: jnp.ndarray,
 def _dgrad_kernel(cout: int, cin: int, rp: int, xp: int, w_in: int,
                   nplanes: int, even: bool, out_dtype, *refs):
     if even:
-        (ga, gb, ea, eb, s_mat, wt_ref, o_ref, s_ref) = refs
+        (ga, gb, ea, eb, msk_ref, s_mat, wt_ref, o_ref, s_ref) = refs
         kk = 2 * cout
     else:
-        (gb, eb, s_mat, wt_ref, o_ref, s_ref) = refs
+        (gb, eb, msk_ref, s_mat, wt_ref, o_ref, s_ref) = refs
         kk = cout
     bd = pl.program_id(0)
     j = pl.program_id(1)
@@ -278,7 +314,13 @@ def _dgrad_kernel(cout: int, cin: int, rp: int, xp: int, w_in: int,
     po_od = (dot(2, 2, 0) + rollm1(dot(0, 2, 0))
              + dot(2, 0, 1) + rollm1(dot(0, 0, 1)))
 
-    # ---- unpack: interleave x parities back to W lanes, row by row ----
+    # ---- unpack: interleave x parities back to W lanes, row by row.
+    # The REAL x-plane this block writes is 2v (even call) / 2v+1 (odd);
+    # planes outside the [olo, ohi) window emit exact zeros — the
+    # transpose of the forward's in-kernel coordinate masking, so upstream
+    # weight gradients see no contamination from out-of-volume rows. ----
+    xplane = 2 * v if even else 2 * v + 1
+    ok = (xplane >= msk_ref[0, 2]) & (xplane < msk_ref[0, 3])
     for t in range(rp):
         for prow, (pe, po) in ((0, (pe_ev, po_ev)), (1, (pe_od, po_od))):
             both = jnp.concatenate(
@@ -288,7 +330,7 @@ def _dgrad_kernel(cout: int, cin: int, rp: int, xp: int, w_in: int,
                                   (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
             o_ref[0, :, (2 * t + prow) * w_in:(2 * t + prow + 1) * w_in] = (
-                row.astype(out_dtype))
+                jnp.where(ok, row, 0.0).astype(out_dtype))
 
 
 def _g_specs(cout: int, nplanes: int, rp: int, xp: int, hp: int, even: bool):
@@ -325,7 +367,7 @@ def _g_specs(cout: int, nplanes: int, rp: int, xp: int, hp: int, even: bool):
 
 
 def _dgrad_s2(gf: jnp.ndarray, gdims: tuple, w: jnp.ndarray,
-              interpret: bool) -> jnp.ndarray:
+              interpret: bool, out_window=None) -> jnp.ndarray:
     """Flat dx (B, Cin, (2D'+1)·H·W) from gf (B, Cout, D'·H'·Xp);
     gdims = (D', H', Xp)."""
     dp, hp, xp = gdims
@@ -338,6 +380,11 @@ def _dgrad_s2(gf: jnp.ndarray, gdims: tuple, w: jnp.ndarray,
     wt = jnp.transpose(w, (4, 3, 1, 0, 2)).astype(gf.dtype)
     pairT = jnp.concatenate([wt[..., 2], wt[..., 0]], axis=-1)
     singleT = wt[..., 1]
+    if out_window is None:
+        msk = jnp.array([[0, dp, _NOMASK[0], _NOMASK[1]]], jnp.int32)
+    else:
+        msk = jnp.stack((jnp.int32(0), jnp.int32(dp),
+                         out_window[0], out_window[1])).astype(jnp.int32).reshape(1, 4)
 
     outs = []
     for even in (True, False):
@@ -349,6 +396,7 @@ def _dgrad_s2(gf: jnp.ndarray, gdims: tuple, w: jnp.ndarray,
                               nplanes, even, gf.dtype),
             grid=(B * nplanes, hp // rp),
             in_specs=_g_specs(cout, nplanes, rp, xp, hp, even) + [
+                _msk_spec(),
                 pl.BlockSpec((W, 2 * xp), lambda bd, j: (0, 0)),
                 pl.BlockSpec((3, 3, cin, kk), lambda bd, j: (0, 0, 0, 0)),
             ],
@@ -361,7 +409,7 @@ def _dgrad_s2(gf: jnp.ndarray, gdims: tuple, w: jnp.ndarray,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "parallel")),
             interpret=interpret,
-        )(*([gf] * (4 if even else 2)), s_mat, wt_arr)
+        )(*([gf] * (4 if even else 2)), msk, s_mat, wt_arr)
         outs.append(out)
     dxe, dxo = outs  # flat (B, cin, (dp+1)·E), (B, cin, dp·E); E = H·W
     E = H * W
@@ -377,21 +425,26 @@ def _dgrad_s2(gf: jnp.ndarray, gdims: tuple, w: jnp.ndarray,
 # --------------------------------------------------------------------------
 
 
-def _wgrad_kernel(cin: int, cout: int, rp: int, xp: int, w_in: int, *refs):
-    (m0, m1, m2, e0, e1, e2, s_mat, g_ref, o_ref, s_ref) = refs
+def _wgrad_kernel(cin: int, cout: int, rp: int, xp: int, w_in: int,
+                  dp: int, *refs):
+    (m0, m1, m2, e0, e1, e2, msk_ref, s_mat, g_ref, o_ref, s_ref) = refs
     j = pl.program_id(1)
     nj = pl.num_programs(1)
     step = pl.program_id(0) * nj + j
+    v = pl.program_id(0) % dp
+    vlo = msk_ref[0, 0]
+    vhi = msk_ref[0, 1]
     Lp = rp * xp
 
     def srow(py: int, px: int) -> int:
         return (py * 2 + px) * 3 * cin
 
     for r, (main, edge) in enumerate(((m0, e0), (m1, e1), (m2, e2))):
+        zok = (2 * v + r >= vlo) & (2 * v + r < vhi)
         pk = lax.dot_general(edge[0, :, :], s_mat[...],
                              (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
-        pk = jnp.where(j > 0, pk, 0.0).astype(s_ref.dtype)
+        pk = jnp.where(zok & (j > 0), pk, 0.0).astype(s_ref.dtype)
         s_ref[pl.ds(srow(1, 0) + r * cin, cin), 0:xp] = pk[:, 0:xp]
         s_ref[pl.ds(srow(1, 1) + r * cin, cin), 0:xp] = pk[:, xp:]
         rows = main[0, :, :]
@@ -401,8 +454,8 @@ def _wgrad_kernel(cin: int, cout: int, rp: int, xp: int, w_in: int, *refs):
                  rows[:, (2 * t + 1) * w_in:(2 * t + 2) * w_in]],
                 axis=0)
             pk = lax.dot_general(two, s_mat[...], (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32
-                                 ).astype(s_ref.dtype)
+                                 preferred_element_type=jnp.float32)
+            pk = jnp.where(zok, pk, 0.0).astype(s_ref.dtype)
             s_ref[pl.ds(srow(0, 0) + r * cin, cin),
                   pl.ds(t * xp, xp)] = pk[0:cin, 0:xp]
             s_ref[pl.ds(srow(0, 1) + r * cin, cin),
@@ -433,7 +486,7 @@ def _wgrad_kernel(cin: int, cout: int, rp: int, xp: int, w_in: int, *refs):
 
 
 def _wgrad_s2(xf: jnp.ndarray, dims: tuple, gf: jnp.ndarray, cout: int,
-              interpret: bool) -> jnp.ndarray:
+              interpret: bool, window=None) -> jnp.ndarray:
     """dW (Cout, Cin, 3, 3, 3) from flat xf (B, Cin, (2D'+1)·H·W) and
     gf (B, Cout, D'·H'·Xp); dims = (2D'+1, H, W)."""
     dext, H, W = dims
@@ -442,11 +495,13 @@ def _wgrad_s2(xf: jnp.ndarray, dims: tuple, gf: jnp.ndarray, cout: int,
     rp = _row_block(hp)
     Lp = rp * xp
     s_mat = jnp.asarray(_sel_matrix(W, np.float32)).astype(xf.dtype)
+    msk = _window_arr(dext, window)
 
     out = pl.pallas_call(
-        functools.partial(_wgrad_kernel, cin, cout, rp, xp, W),
+        functools.partial(_wgrad_kernel, cin, cout, rp, xp, W, dp),
         grid=(B * dp, hp // rp),
         in_specs=_fwd_specs(cin, dp, rp, W, H) + [
+            _msk_spec(),
             pl.BlockSpec((W, 2 * xp), lambda bd, j: (0, 0)),
             pl.BlockSpec(
                 (1, cout, Lp),
@@ -459,7 +514,7 @@ def _wgrad_s2(xf: jnp.ndarray, dims: tuple, gf: jnp.ndarray, cout: int,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(*([xf] * 6), s_mat, gf)
+    )(*([xf] * 6), msk, s_mat, gf)
     # (dx, dy, z·Cin+c, Cout) → (Cout, Cin, dz, dy, dx)
     out = out.reshape(3, 3, 3, cin, cout)
     return jnp.transpose(out, (4, 3, 2, 1, 0))
@@ -493,6 +548,47 @@ def _vjp_bwd(dims, res, g):
 
 
 conv3d_k3s2_flat.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def conv3d_k3s2_chain(meta: tuple, xf: jnp.ndarray, win: jnp.ndarray,
+                      w: jnp.ndarray, bias: jnp.ndarray):
+    """Slab-chain form of conv3d_k3s2_flat: in-kernel coordinate masking and
+    optional in-kernel GroupNorm statistics (see conv3d_k3.conv3d_k3s1_chain
+    for the contract — win is the valid input-plane window [vlo, vhi) in
+    real plane indices)."""
+    dext, H, W, want_sums = meta
+    window = (win[0], win[1], _NOMASK[0], _NOMASK[1])
+    return _conv_fwd_s2(xf, (dext, H, W), w, bias, interpret=_is_cpu(),
+                        window=window, want_sums=want_sums)
+
+
+def _vjp_fwd_chain(meta, xf, win, w, bias):
+    res = conv3d_k3s2_chain(meta, xf, win, w, bias)
+    return res, (xf, win, w, bias, res[0] if meta[3] else None)
+
+
+def _vjp_bwd_chain(meta, res, ct):
+    dext, H, W, want_sums = meta
+    dp, hp, xp = (dext - 1) // 2, H // 2, W // 2
+    xf, win, w, bias, out = res
+    if want_sums:
+        g, gs1, gs2 = ct
+        g = (g.astype(jnp.float32) + gs1[:, :, None]
+             + 2.0 * gs2[:, :, None] * out.astype(jnp.float32))
+    else:
+        g = ct
+    g = g.astype(xf.dtype)
+    dx = _dgrad_s2(g, (dp, hp, xp), w.astype(xf.dtype), interpret=_is_cpu(),
+                   out_window=win)
+    dw = _wgrad_s2(xf, (dext, H, W), g, w.shape[0], interpret=_is_cpu(),
+                   window=(win[0], win[1], _NOMASK[0], _NOMASK[1])).astype(w.dtype)
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 2)).astype(bias.dtype)
+    d_win = np.zeros((2,), dtype=jax.dtypes.float0)
+    return dx, d_win, dw, db
+
+
+conv3d_k3s2_chain.defvjp(_vjp_fwd_chain, _vjp_bwd_chain)
 
 
 def conv3d_k3s2_valid_d(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray):

@@ -225,13 +225,14 @@ def _fold_conv_gn(seg: Sequence[Tuple], stats: Sequence[Tuple[jnp.ndarray, jnp.n
     stage-3 device trace) — the fold itself touches only the (O,I,3,3,3)
     weight tensor. Returns (folded ops, stats for the gns that remain).
     """
+    fold_ok = os.environ.get("HVC_GN_FOLD", "1") != "0"  # perf A/B toggle
     out: List[Tuple] = []
     rem_stats: List[Tuple] = []
     gn_i = 0
     i = 0
     while i < len(seg):
         op = seg[i]
-        if (op[0] == "conv" and batch == 1 and i + 1 < len(seg)
+        if (op[0] == "conv" and batch == 1 and fold_ok and i + 1 < len(seg)
                 and seg[i + 1][0] == "gn"):
             _, kernel, bias, stride = op
             _, groups, scale, gbias = seg[i + 1]
@@ -445,16 +446,6 @@ def _slice_slab_flat(srcf: jnp.ndarray, j, F: int, sd: int, c_lo: int,
     return jnp.roll(islab, (p - s_lo) * hw, axis=2)
 
 
-def _mask_outside_flat(h: jnp.ndarray, lo, level_d: int, d_cur: int,
-                       hw: int) -> jnp.ndarray:
-    """_mask_outside on a flat slab: the D coordinate of lane l is l // hw
-    (hw = H·W is a power of two at the cascade shapes, so the divide fuses
-    as a shift in the masking elementwise op)."""
-    coords = lo + lax.iota(jnp.int32, d_cur * hw) // hw
-    valid = (coords >= 0) & (coords < level_d)
-    return h * valid.astype(h.dtype)[None, None, :]
-
-
 def _gn_affine_flat(x: jnp.ndarray, groups: int, scale: jnp.ndarray,
                     bias: jnp.ndarray, mean: jnp.ndarray,
                     inv: jnp.ndarray) -> jnp.ndarray:
@@ -484,9 +475,15 @@ def _group_sums_flat(h: jnp.ndarray, groups: int):
 
 
 def _conv_flat(h: jnp.ndarray, dims: Tuple[int, int, int], kernel: jnp.ndarray,
-               bias, stride: int, dtype) -> jnp.ndarray:
+               bias, stride: int, dtype, win=None, want_sums: bool = False):
     """Dispatch one conv on a flat slab: k1 → channel dot_general (already
-    layout-native), k3 s1/s2 → the flat Pallas kernels."""
+    layout-native), k3 s1/s2 → the flat Pallas kernels.
+
+    `win` = traced [vlo, vhi) valid-input-plane window: k3 convs zero
+    out-of-volume planes IN the kernel (dense SAME-conv zero-pad semantics,
+    no whole-slab mask pass). `want_sums` → (out, s1, s2) with in-kernel
+    per-channel f32 (sum, sum-of-squares) of the output — the GroupNorm
+    statistics by-product (k3 only)."""
     d, H, W = dims
     k = kernel.shape[-1]
     if k == 1 and stride == 1:
@@ -499,31 +496,41 @@ def _conv_flat(h: jnp.ndarray, dims: Tuple[int, int, int], kernel: jnp.ndarray,
         if bias is not None:
             out = out + bias.astype(out.dtype)[None, :, None]
         return out
-    from .pallas.conv3d_k3 import conv3d_k3s1_flat
-    from .pallas.conv3d_k3s2 import conv3d_k3s2_flat
+    from .pallas.conv3d_k3 import conv3d_k3s1_chain, conv3d_k3s1_flat
+    from .pallas.conv3d_k3s2 import conv3d_k3s2_chain, conv3d_k3s2_flat
 
     b = bias if bias is not None else jnp.zeros((kernel.shape[0],), jnp.float32)
-    if stride == 1:
-        return conv3d_k3s1_flat((d, H, W), h.astype(dtype),
-                                kernel.astype(dtype), b)
-    return conv3d_k3s2_flat((d, H, W), h.astype(dtype),
-                            kernel.astype(dtype), b)
+    if win is not None:
+        fn = conv3d_k3s1_chain if stride == 1 else conv3d_k3s2_chain
+        return fn((d, H, W, want_sums), h.astype(dtype), win,
+                  kernel.astype(dtype), b)
+    fn = conv3d_k3s1_flat if stride == 1 else conv3d_k3s2_flat
+    return fn((d, H, W), h.astype(dtype), kernel.astype(dtype), b)
 
 
 def _run_prefix_flat(h: jnp.ndarray, seg: Sequence[Tuple],
                      stats: List[Optional[Tuple[jnp.ndarray, jnp.ndarray]]],
-                     dtype, lo, level_d: int,
-                     dims: Tuple[int, int, int]) -> jnp.ndarray:
+                     dtype, lo, level_d: int, dims: Tuple[int, int, int],
+                     endpoint_sums: bool = False):
     """_run_prefix on a flat D-extended slab; `dims` = (D rows, H, W) of
-    `h`, walked forward through the (already conv-gn-folded) segment."""
+    `h`, walked forward through the (already conv-gn-folded) segment.
+
+    Out-of-volume coordinate masking happens INSIDE the k3 conv kernels
+    (the [−lo, level_d−lo) plane window). With `endpoint_sums` the final
+    op (which must be a k3 conv — callers check) also returns per-channel
+    (sum, sum-of-squares) accumulated in-kernel, and the return value is
+    (h, s1, s2)."""
     d_cur, H, W = dims
     gn_i = 0
-    for op in seg:
+    for i, op in enumerate(seg):
         if op[0] == "conv":
             _, kernel, bias, stride = op
             k = kernel.shape[-1]
-            h = _mask_outside_flat(h, lo, level_d, d_cur, H * W)
-            h = _conv_flat(h, (d_cur, H, W), kernel, bias, stride, dtype)
+            win = jnp.stack([-lo, level_d - lo]).astype(jnp.int32) \
+                if k == 3 else None
+            sums = endpoint_sums and i == len(seg) - 1
+            h = _conv_flat(h, (d_cur, H, W), kernel, bias, stride, dtype,
+                           win=win, want_sums=sums)
             if k == 3:
                 d_cur = d_cur - 2 if stride == 1 else (d_cur - 1) // 2
                 lo = lo + 1  # first VALID output coord (= window center for s2)
@@ -677,13 +684,25 @@ def chain_apply_streamed(x: jnp.ndarray, chain: Sequence[Tuple], num_slabs: int 
         ext = F * sd + (c_hi - c_lo)
 
         groups = chain[end][1] if want_stats else 1
+        # endpoint stats as a kernel by-product: available when the segment
+        # ends in a k3 conv (it always does at the gn boundaries of the
+        # cascade's chains) — no whole-slab stats read-back pass
+        ksums = (use_flat and want_stats and len(seg) > 0
+                 and seg[-1][0] == "conv" and seg[-1][1].shape[-1] == 3)
 
         @jax.checkpoint
         def body(carry, j):
             if use_flat:
                 islab = _slice_slab_flat(src, j, F, sd, c_lo, ext, Hs * Ws, dsrc)
-                h = _run_prefix_flat(islab, seg, seg_stats, dtype,
-                                     j * (F * sd) + c_lo, dsrc, (ext, Hs, Ws))
+                res = _run_prefix_flat(islab, seg, seg_stats, dtype,
+                                       j * (F * sd) + c_lo, dsrc,
+                                       (ext, Hs, Ws), endpoint_sums=ksums)
+                if ksums:
+                    h, c1, c2 = res
+                    carry = (carry[0] + c1.reshape(B, groups, -1).sum(-1),
+                             carry[1] + c2.reshape(B, groups, -1).sum(-1))
+                    return carry, (h if emit else None)
+                h = res
             else:
                 islab = _slice_slab(src, j, F, sd, c_lo, ext)
                 h = _run_prefix(islab, seg, len(seg), seg_stats, dtype,

@@ -189,13 +189,18 @@ class TestFlatStreamedBody:
 
         gx_d, gc_d = jax.grad(loss(chain_apply_dense), argnums=(0, 1))(x, arrays)
         monkeypatch.setenv("HVC_PALLAS_INTERPRET", "1")
-        gx_s, gc_s = jax.grad(
-            loss(lambda x, c: chain_apply_streamed(x, c, 4, store_min_flops=0.0,
-                                                   dense_max_voxels=0)),
-            argnums=(0, 1))(x, arrays)
-        np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_d), rtol=5e-5, atol=5e-5)
-        for got, want in zip(gc_s, gc_d):
-            np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=5e-5, atol=5e-5)
+        # always-store exercises the endpoint-sums VJP branch; never-store
+        # (pure recompute) exercises the plain chain-conv VJP branch
+        for smf in (0.0, 1e30):
+            gx_s, gc_s = jax.grad(
+                loss(lambda x, c, smf=smf: chain_apply_streamed(
+                    x, c, 4, store_min_flops=smf, dense_max_voxels=0)),
+                argnums=(0, 1))(x, arrays)
+            np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_d),
+                                       rtol=5e-5, atol=5e-5)
+            for got, want in zip(gc_s, gc_d):
+                np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                           rtol=5e-5, atol=5e-5)
 
 
 class TestStage3SlabParity:
