@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import dot_product_attention
-from .layers import Dtype, torch_default_init
+from .layers import Dtype, FastDropout, torch_default_init
 
 
 def collect_attention_maps(intermediates) -> dict:
@@ -58,9 +58,9 @@ class MultiHeadSelfAttention(nn.Module):
         q, k, v = qkv[0], qkv[1], qkv[2]
         out = dot_product_attention(q, k, v, scale=Dh ** -0.5, impl=self.attn_impl)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, E)
-        out = nn.Dropout(self.dropout, deterministic=not train)(out)
+        out = FastDropout(self.dropout)(out, deterministic=not train)
         out = nn.Dense(E, kernel_init=torch_default_init, dtype=self.dtype)(out)
-        out = nn.Dropout(self.dropout, deterministic=not train)(out)
+        out = FastDropout(self.dropout)(out, deterministic=not train)
         return out
 
 
@@ -103,7 +103,7 @@ class MultiHeadCrossAttention(nn.Module):
         else:
             out = dot_product_attention(q, k, v, scale=Dh ** -0.5, impl=self.attn_impl)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, E)
-        out = nn.Dropout(self.dropout, deterministic=not train)(out)
+        out = FastDropout(self.dropout)(out, deterministic=not train)
         out = nn.Dense(E, kernel_init=torch_default_init, dtype=self.dtype)(out)
-        out = nn.Dropout(self.dropout, deterministic=not train)(out)
+        out = FastDropout(self.dropout)(out, deterministic=not train)
         return out

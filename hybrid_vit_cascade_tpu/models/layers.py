@@ -10,6 +10,7 @@ import math
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 # torch nn.Linear/ConvNd default init: kaiming_uniform(a=sqrt(5)) ==
@@ -25,6 +26,36 @@ def gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
     return nn.gelu(x, approximate=False)
 
 
+class FastDropout(nn.Module):
+    """nn.Dropout with the mask bits drawn from the TPU hardware generator.
+
+    flax's nn.Dropout generates bits with threefry2x32 — pure VPU work that
+    costs ~22 ms/step on the stage-3 ViT (measured, scripts/
+    probe_vit_dropout.py: the MLP's 33M-element hidden mask × depth 8).
+    Re-wrapping each site's already-folded threefry key as an 'unsafe_rbg'
+    key routes bit generation to the TPU's RngBitGenerator instruction.
+    The distribution is identical (Bernoulli(rate), inverted scaling —
+    torch nn.Dropout semantics, vit_components.py:48); only the
+    pseudorandom stream differs, and no parity contract exists on the bits
+    (the reference uses torch's global RNG stream). Keys stay reproducible:
+    same seed → same folded key → same mask."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
+        if deterministic or self.rate == 0.0:
+            return x
+        rng = self.make_rng("dropout")
+        data = jax.random.key_data(rng).reshape(-1)[:2]  # (2,) uint32
+        k = jax.random.wrap_key_data(
+            jnp.concatenate([data, data]), impl="unsafe_rbg")
+        keep_prob = 1.0 - self.rate
+        keep = jax.random.bernoulli(k, keep_prob, x.shape)
+        return jnp.where(keep, x / jnp.asarray(keep_prob, x.dtype),
+                         jnp.zeros((), x.dtype))
+
+
 class Mlp(nn.Module):
     """Transformer MLP: Dense → GELU → Dropout → Dense → Dropout
     (reference: hybrid_vit_backbone.py:75-81)."""
@@ -38,9 +69,9 @@ class Mlp(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = nn.Dense(self.hidden_dim, kernel_init=torch_default_init, dtype=self.dtype)(x)
         x = gelu_exact(x)
-        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = FastDropout(self.dropout)(x, deterministic=not train)
         x = nn.Dense(self.out_dim, kernel_init=torch_default_init, dtype=self.dtype)(x)
-        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = FastDropout(self.dropout)(x, deterministic=not train)
         return x
 
 

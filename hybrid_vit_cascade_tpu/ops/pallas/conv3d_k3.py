@@ -117,6 +117,62 @@ def _pack_weights(w: jnp.ndarray, dtype):
 
 SMALLCIN_MAX = 4  # tap-K-packed kernel path for cin ≤ this (27·cin ≤ 108)
 
+_SQRT2 = 1.4142135623730951
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _erf_f32(x: jnp.ndarray) -> jnp.ndarray:
+    """erf for Pallas TPU kernels — Mosaic has no erf primitive (the
+    lowering raises NotImplementedError), so this is Abramowitz & Stegun
+    7.1.28 (|abs err| ≤ 3e-7: invisible at bf16 and far inside the fp32
+    chain-equality test tolerances). This form is chosen for VPU cost, not
+    just accuracy: 6-term Horner + 4 squarings + one reciprocal — NO exp
+    and NO divide (the 7.1.26 exp·div form measured ~2× the in-kernel act
+    cost; the z-stitch replays the activation 3.75× per element, so every
+    VPU op here is multiplied). Interpret mode uses the same formula so
+    CPU tests exercise identical numerics."""
+    ax = jnp.where(x < 0.0, -x, x)
+    p = (((((0.0000430638 * ax + 0.0002765672) * ax + 0.0001520143) * ax
+           + 0.0092705272) * ax + 0.0422820123) * ax + 0.0705230784) * ax + 1.0
+    p2 = p * p
+    p4 = p2 * p2
+    p8 = p4 * p4
+    y = 1.0 - 1.0 / (p8 * p8)
+    return jnp.where(x < 0.0, -y, y)
+
+
+def _pact(act: Optional[str], x: jnp.ndarray) -> jnp.ndarray:
+    """In-kernel activation PROLOGUE: the chains' act→conv pairs fuse the
+    activation into the conv's input load, so the activated tensor never
+    round-trips HBM (a standalone whole-slab act pass costs ~2 ms per 64-ch
+    256³ slab, times fwd + backward recompute + wgrad — ~60+ ms/step at
+    stage 3). f32 compute, cast back to the operand dtype — matching the
+    dense path's XLA elementwise behavior on bf16."""
+    if act is None:
+        return x
+    xf = x.astype(jnp.float32)
+    if act == "gelu":  # erf form (torch nn.GELU default)
+        y = 0.5 * xf * (1.0 + _erf_f32(xf / _SQRT2))
+    elif act == "silu":
+        y = xf * (1.0 / (1.0 + jnp.exp(-xf)))
+    else:
+        raise ValueError(act)
+    return y.astype(x.dtype)
+
+
+def _dact_f32(act: str, x: jnp.ndarray) -> jnp.ndarray:
+    """d/dx of _pact in f32 — the dgrad kernels' epilogue multiply for
+    prologue-fused activations (dx = act'(x) ⊙ convᵀ(g))."""
+    xf = x.astype(jnp.float32)
+    if act == "gelu":
+        cdf = 0.5 * (1.0 + _erf_f32(xf / _SQRT2))
+        pdf = _INV_SQRT_2PI * jnp.exp(-0.5 * xf * xf)
+        return cdf + xf * pdf
+    if act == "silu":
+        s = 1.0 / (1.0 + jnp.exp(-xf))
+        return s * (1.0 + xf * (1.0 - s))
+    raise ValueError(act)
+
 
 def _pack_weights_taps(w: jnp.ndarray, dtype, k_rows: int):
     """(Cout, Cin, 3, 3, 3) OIDHW → (Cout, k_rows) with row order
@@ -128,14 +184,19 @@ def _pack_weights_taps(w: jnp.ndarray, dtype, k_rows: int):
 
 
 def _stitch_z(s_ref, mains, lefts, rights, cin: int, W: int, L: int,
-              v, vp: int, msk_ref):
+              v, vp: int, msk_ref, act: Optional[str] = None):
     """Shared z-plane stitch: per z-offset write [left-edge | main | right-
     edge] rows into scratch, zeroing (a) clamped y-edge loads at plane
     bounds and (b) whole z-planes whose REAL input-plane index q = v + z − vp
     falls outside the valid window [msk[0], msk[1]) — this implements both
     the virtual D-padding of the dgrad (planes past the array) and the
     chains' out-of-volume coordinate masking IN the kernel, replacing a
-    whole-slab elementwise mask pass per conv (~25 ms/step at stage 3)."""
+    whole-slab elementwise mask pass per conv (~25 ms/step at stage 3).
+
+    `act` applies the fused activation prologue (see _pact) to the loaded
+    values BEFORE the zero-mask select — mask(act(x)) and act(mask(x)) agree
+    because gelu(0) = silu(0) = 0, and the mask reproduces the dense path's
+    per-conv zero padding of the (activated) conv input."""
     j = pl.program_id(1)
     nj = pl.num_programs(1)
     vlo = msk_ref[0, 0]
@@ -151,15 +212,31 @@ def _stitch_z(s_ref, mains, lefts, rights, cin: int, W: int, L: int,
             zok, mains[z][0, :, :], zero)
         s_ref[pl.ds(z * cin, cin), W + L:] = jnp.where(
             zok & (j < nj - 1), right, zero)
+    if act is not None:
+        # activation applied AFTER the (pure data movement) stitch —
+        # act(0) = 0 for gelu/silu, so masked rows stay masked; chunked per
+        # z-group to bound the f32 VPU temporaries (a whole-scratch pass
+        # allocates ~5 live (3·Cin, L+2W) f32 vectors and blows the 16 MB
+        # scoped-vmem limit at the 64-channel detail shapes)
+        for z in range(3):
+            s_ref[pl.ds(z * cin, cin), :] = _pact(
+                act, s_ref[pl.ds(z * cin, cin), :])
 
 
-def _emit_out(o_ref, sums_ref, acc, v, msk_ref, out_dtype):
+def _emit_out(o_ref, sums_ref, acc, v, msk_ref, out_dtype,
+              dact_act: Optional[str] = None, dact_ref=None):
     """Shared epilogue: zero output planes outside the [msk[2], msk[3])
     window (the dgrad's dx rows at out-of-volume coordinates must be exact
     zeros so upstream weight gradients see no contamination), then
     optionally emit per-channel f32 (sum, sum-of-squares) of the written
     block — the GroupNorm statistics accumulate as a kernel by-product
-    instead of a separate whole-slab read-back pass."""
+    instead of a separate whole-slab read-back pass.
+
+    dact_act/dact_ref: dgrad epilogue for a prologue-fused activation —
+    the emitted block is act'(x) ⊙ acc, with x (the forward conv's
+    pre-activation input) streamed in at the output block's coordinates."""
+    if dact_act is not None:
+        acc = acc * _dact_f32(dact_act, dact_ref[0, :, :])
     ook = (v >= msk_ref[0, 2]) & (v < msk_ref[0, 3])
     outv = jnp.where(ook, acc, 0.0).astype(out_dtype)
     o_ref[0, :, :] = outv
@@ -169,8 +246,27 @@ def _emit_out(o_ref, sums_ref, acc, v, msk_ref, out_dtype):
             [jnp.sum(of, axis=1), jnp.sum(of * of, axis=1)])
 
 
+def _unpack_refs(refs, n_w: int, want_sums: bool, has_dact: bool):
+    """Kernel ref layout: 9 x-blocks, msk, n_w weight arrays, bias,
+    [dact x-block], out, [sums], scratch... — returns
+    (xs, msk, ws, b, dact_ref, o, sums, scratch)."""
+    xs = refs[:9]
+    msk = refs[9]
+    ws = refs[10:10 + n_w]
+    b = refs[10 + n_w]
+    i = 11 + n_w
+    dact_ref = refs[i] if has_dact else None
+    i += 1 if has_dact else 0
+    o = refs[i]
+    i += 1
+    sums = refs[i] if want_sums else None
+    i += 1 if want_sums else 0
+    return xs, msk, ws, b, dact_ref, o, sums, refs[i:]
+
+
 def _conv_kernel_smallcin(cin: int, cout: int, L: int, W: int, k_rows: int,
-                          D: int, vp: int, want_sums: bool, out_dtype, *refs):
+                          D: int, vp: int, want_sums: bool, act, dact_act,
+                          out_dtype, *refs):
     """Small-cin variant: ONE (Cout, 27·Cin)@(27·Cin, L) MXU dot per block.
 
     The generic kernel's per-(dx, dy) dots have K = 2·Cin / Cin; at Cin ≤ 4
@@ -179,17 +275,13 @@ def _conv_kernel_smallcin(cin: int, cout: int, L: int, W: int, k_rows: int,
     block size. Here all 27 taps are stitched into explicit K rows (dz/dy via
     aligned scratch slices, dx via one masked lane-roll per row triple), so
     the contraction depth is 27·Cin and the dot runs on the MXU."""
-    if want_sums:
-        (m0, m1, m2, l0, l1, l2, r0, r1, r2, msk_ref, wk_ref, b_ref,
-         o_ref, sums_ref, s_ref, k_ref) = refs
-    else:
-        (m0, m1, m2, l0, l1, l2, r0, r1, r2, msk_ref, wk_ref, b_ref,
-         o_ref, s_ref, k_ref) = refs[:15]
-        sums_ref = None
+    (xs, msk_ref, (wk_ref,), b_ref, dact_ref, o_ref, sums_ref,
+     (s_ref, k_ref)) = _unpack_refs(refs, 1, want_sums, dact_act is not None)
+    (m0, m1, m2, l0, l1, l2, r0, r1, r2) = xs
     v = pl.program_id(0) % D
 
     _stitch_z(s_ref, (m0, m1, m2), (l0, l1, l2), (r0, r1, r2),
-              cin, W, L, v, vp, msk_ref)
+              cin, W, L, v, vp, msk_ref, act)
 
     lane = lax.broadcasted_iota(jnp.int32, (1, L), 1) % W
     zero = jnp.zeros((), s_ref.dtype)
@@ -211,7 +303,7 @@ def _conv_kernel_smallcin(cin: int, cout: int, L: int, W: int, k_rows: int,
         wk_ref[...], k_ref[...],
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     acc += b_ref[:, :].astype(jnp.float32)
-    _emit_out(o_ref, sums_ref, acc, v, msk_ref, out_dtype)
+    _emit_out(o_ref, sums_ref, acc, v, msk_ref, out_dtype, dact_act, dact_ref)
 
 
 def _pack_weights_ztriple(w: jnp.ndarray, dtype):
@@ -227,20 +319,17 @@ def _pack_weights_ztriple(w: jnp.ndarray, dtype):
 
 
 def _conv_kernel_ztriple(cin: int, cout: int, L: int, W: int, D: int,
-                         vp: int, want_sums: bool, out_dtype, *refs):
+                         vp: int, want_sums: bool, act, dact_act,
+                         out_dtype, *refs):
     """z-triple variant of _conv_kernel: one (Cout, 3Cin)@(3Cin, L) dot per
     (dx, dy) tap column (applicable when 3·Cin ≤ 128)."""
-    if want_sums:
-        (m0, m1, m2, l0, l1, l2, r0, r1, r2, msk_ref, wz_ref, b_ref,
-         o_ref, sums_ref, s_ref) = refs
-    else:
-        (m0, m1, m2, l0, l1, l2, r0, r1, r2, msk_ref, wz_ref, b_ref,
-         o_ref, s_ref) = refs[:14]
-        sums_ref = None
+    (xs, msk_ref, (wz_ref,), b_ref, dact_ref, o_ref, sums_ref,
+     (s_ref,)) = _unpack_refs(refs, 1, want_sums, dact_act is not None)
+    (m0, m1, m2, l0, l1, l2, r0, r1, r2) = xs
     v = pl.program_id(0) % D
 
     _stitch_z(s_ref, (m0, m1, m2), (l0, l1, l2), (r0, r1, r2),
-              cin, W, L, v, vp, msk_ref)
+              cin, W, L, v, vp, msk_ref, act)
 
     acc = jnp.broadcast_to(b_ref[:, :].astype(jnp.float32), (cout, L))
     lane = lax.broadcasted_iota(jnp.int32, (1, L), 1) % W
@@ -257,22 +346,18 @@ def _conv_kernel_ztriple(cin: int, cout: int, L: int, W: int, D: int,
             acc += p
         else:
             acc += jnp.where(lane == W - 1, 0.0, jnp.roll(p, -1, axis=1))
-    _emit_out(o_ref, sums_ref, acc, v, msk_ref, out_dtype)
+    _emit_out(o_ref, sums_ref, acc, v, msk_ref, out_dtype, dact_act, dact_ref)
 
 
 def _conv_kernel(cin: int, cout: int, L: int, W: int, D: int,
-                 vp: int, want_sums: bool, out_dtype, *refs):
-    if want_sums:
-        (m0, m1, m2, l0, l1, l2, r0, r1, r2, msk_ref, wp_ref, ws_ref, b_ref,
-         o_ref, sums_ref, s_ref) = refs
-    else:
-        (m0, m1, m2, l0, l1, l2, r0, r1, r2, msk_ref, wp_ref, ws_ref, b_ref,
-         o_ref, s_ref) = refs[:15]
-        sums_ref = None
+                 vp: int, want_sums: bool, act, dact_act, out_dtype, *refs):
+    (xs, msk_ref, (wp_ref, ws_ref), b_ref, dact_ref, o_ref, sums_ref,
+     (s_ref,)) = _unpack_refs(refs, 2, want_sums, dact_act is not None)
+    (m0, m1, m2, l0, l1, l2, r0, r1, r2) = xs
     v = pl.program_id(0) % D
 
     _stitch_z(s_ref, (m0, m1, m2), (l0, l1, l2), (r0, r1, r2),
-              cin, W, L, v, vp, msk_ref)
+              cin, W, L, v, vp, msk_ref, act)
 
     acc = jnp.broadcast_to(b_ref[:, :].astype(jnp.float32), (cout, L))
     lane = lax.broadcasted_iota(jnp.int32, (1, L), 1) % W
@@ -292,7 +377,7 @@ def _conv_kernel(cin: int, cout: int, L: int, W: int, D: int,
             acc += p
         else:
             acc += jnp.where(lane == W - 1, 0.0, jnp.roll(p, -1, axis=1))
-    _emit_out(o_ref, sums_ref, acc, v, msk_ref, out_dtype)
+    _emit_out(o_ref, sums_ref, acc, v, msk_ref, out_dtype, dact_act, dact_ref)
 
 
 def _x_specs(cin: int, D: int, L: int, W: int, E: int, dext: int,
@@ -353,14 +438,20 @@ def _msk_spec():
 
 def _conv_fwd(xf: jnp.ndarray, dims: tuple, w: jnp.ndarray, bias: jnp.ndarray,
               interpret: bool, vp: int = 0, window=None,
-              want_sums: bool = False):
+              want_sums: bool = False, act: Optional[str] = None,
+              dact: Optional[tuple] = None):
     """xf: (B, Cin, (D+2)·H·W) VALID in D / SAME in H,W → (B, Cout, D·H·W).
 
     Flat rank-3 I/O end to end: the kernel's (Cin, lanes) operand layout is
     the SAME physical layout the surrounding slab-chain ops use, so chains
     of convs + elementwise ops run with zero relayouts (the rank-5↔rank-3
     reshape around every conv cost ~60 ms/step of `reshape` HLOs in the
-    stage-3 device trace before this)."""
+    stage-3 device trace before this).
+
+    act: fused activation prologue (conv of act(xf), see _pact/_stitch_z).
+    dact: (act_name, x_flat) — dgrad epilogue: output blocks are multiplied
+    by act'(x_flat) at their own coordinates (x_flat has exactly this call's
+    output geometry: (B, Cout, D·H·W))."""
     dext, H, W = dims
     B, cin = xf.shape[0], xf.shape[1]
     cout = w.shape[0]
@@ -370,6 +461,11 @@ def _conv_fwd(xf: jnp.ndarray, dims: tuple, w: jnp.ndarray, bias: jnp.ndarray,
     nj = (H * W) // L
     b2 = bias.astype(jnp.float32).reshape(cout, 1)
     msk = _window_arr(dext, window)
+    dact_act = dact[0] if dact is not None else None
+    dact_specs = [] if dact is None else [pl.BlockSpec(
+        (1, cout, L), lambda bd, j: (bd // D, 0, (bd % D) * nj + j))]
+    dact_ops = [] if dact is None else [dact[1]]
+    assert not (want_sums and dact is not None)
 
     def _outs():
         shapes = [jax.ShapeDtypeStruct((B, cout, D * H * W), xf.dtype)]
@@ -396,13 +492,13 @@ def _conv_fwd(xf: jnp.ndarray, dims: tuple, w: jnp.ndarray, bias: jnp.ndarray,
         wk = _pack_weights_taps(w, xf.dtype, k_rows)
         out = pl.pallas_call(
             functools.partial(_conv_kernel_smallcin, cin, cout, L, W, k_rows,
-                              D, vp, want_sums, xf.dtype),
+                              D, vp, want_sums, act, dact_act, xf.dtype),
             grid=(B * D, nj),
             in_specs=_x_specs(cin, D, L, W, E, dext, vp) + [
                 _msk_spec(),
                 pl.BlockSpec((cout, k_rows), lambda bd, j: (0, 0)),
                 pl.BlockSpec((cout, 1), lambda bd, j: (0, 0)),
-            ],
+            ] + dact_specs,
             out_specs=out_specs,
             out_shape=out_shape,
             scratch_shapes=[pltpu.VMEM((3 * cin, L + 2 * W), xf.dtype),
@@ -410,61 +506,61 @@ def _conv_fwd(xf: jnp.ndarray, dims: tuple, w: jnp.ndarray, bias: jnp.ndarray,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "parallel")),
             interpret=interpret,
-        )(*([xf] * 9), msk, wk, b2)
+        )(*([xf] * 9), msk, wk, b2, *dact_ops)
         return _post(out)
 
     if 3 * cin <= 128:
         wz = _pack_weights_ztriple(w, xf.dtype)
         out = pl.pallas_call(
             functools.partial(_conv_kernel_ztriple, cin, cout, L, W,
-                              D, vp, want_sums, xf.dtype),
+                              D, vp, want_sums, act, dact_act, xf.dtype),
             grid=(B * D, nj),
             in_specs=_x_specs(cin, D, L, W, E, dext, vp) + [
                 _msk_spec(),
                 pl.BlockSpec((3, 3, cout, 3 * cin), lambda bd, j: (0, 0, 0, 0)),
                 pl.BlockSpec((cout, 1), lambda bd, j: (0, 0)),
-            ],
+            ] + dact_specs,
             out_specs=out_specs,
             out_shape=out_shape,
             scratch_shapes=[pltpu.VMEM((3 * cin, L + 2 * W), xf.dtype)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "parallel")),
             interpret=interpret,
-        )(*([xf] * 9), msk, wz, b2)
+        )(*([xf] * 9), msk, wz, b2, *dact_ops)
         return _post(out)
 
     wp, ws = _pack_weights(w, xf.dtype)
     out = pl.pallas_call(
         functools.partial(_conv_kernel, cin, cout, L, W,
-                          D, vp, want_sums, xf.dtype),
+                          D, vp, want_sums, act, dact_act, xf.dtype),
         grid=(B * D, nj),
         in_specs=_x_specs(cin, D, L, W, E, dext, vp) + [
             _msk_spec(),
             pl.BlockSpec((3, 3, cout, 2 * cin), lambda bd, j: (0, 0, 0, 0)),
             pl.BlockSpec((3, 3, cout, cin), lambda bd, j: (0, 0, 0, 0)),
             pl.BlockSpec((cout, 1), lambda bd, j: (0, 0)),
-        ],
+        ] + dact_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((3 * cin, L + 2 * W), xf.dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "parallel")),
         interpret=interpret,
-    )(*([xf] * 9), msk, wp, ws, b2)
+    )(*([xf] * 9), msk, wp, ws, b2, *dact_ops)
     return _post(out)
 
 
-def _wgrad_kernel(cin: int, cout: int, L: int, W: int, D: int, *refs):
+def _wgrad_kernel(cin: int, cout: int, L: int, W: int, D: int, act, *refs):
     (m0, m1, m2, l0, l1, l2, r0, r1, r2, msk_ref, g_ref, o_ref, s_ref) = refs
     j = pl.program_id(1)
     nj = pl.num_programs(1)
     step = pl.program_id(0) * nj + j
     v = pl.program_id(0) % D
 
-    # x stitched with the same plane-validity window as the forward, so dW
-    # pairs g only with the x the forward actually saw.
+    # x stitched with the same plane-validity window AND activation prologue
+    # as the forward, so dW pairs g with the act(x) the forward actually saw.
     _stitch_z(s_ref, (m0, m1, m2), (l0, l1, l2), (r0, r1, r2),
-              cin, W, L, v, 0, msk_ref)
+              cin, W, L, v, 0, msk_ref, act)
 
     g = g_ref[0, :, :]
     lane = lax.broadcasted_iota(jnp.int32, (1, L), 1) % W
@@ -494,9 +590,9 @@ def _wgrad_kernel(cin: int, cout: int, L: int, W: int, D: int, *refs):
 
 
 def _wgrad(xf: jnp.ndarray, dims: tuple, gf: jnp.ndarray, cout: int,
-           interpret: bool, window=None) -> jnp.ndarray:
+           interpret: bool, window=None, act: Optional[str] = None) -> jnp.ndarray:
     """dW (Cout, Cin, 3, 3, 3) from flat xf (B, Cin, (D+2)·H·W) and
-    gf (B, Cout, D·H·W)."""
+    gf (B, Cout, D·H·W); `act` replays the forward's activation prologue."""
     dext, H, W = dims
     B, cin = xf.shape[0], xf.shape[1]
     D = dext - 2
@@ -505,7 +601,7 @@ def _wgrad(xf: jnp.ndarray, dims: tuple, gf: jnp.ndarray, cout: int,
     msk = _window_arr(dext, window)
 
     out = pl.pallas_call(
-        functools.partial(_wgrad_kernel, cin, cout, L, W, D),
+        functools.partial(_wgrad_kernel, cin, cout, L, W, D, act),
         grid=(B * D, (H * W) // L),
         in_specs=_x_specs(cin, D, L, W, E, dext) + [
             _msk_spec(),
@@ -565,23 +661,27 @@ conv3d_k3s1_flat.defvjp(_vjp_fwd, _vjp_bwd)
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def conv3d_k3s1_chain(meta: tuple, xf: jnp.ndarray, win: jnp.ndarray,
                       w: jnp.ndarray, bias: jnp.ndarray):
-    """Slab-chain form of conv3d_k3s1_flat: in-kernel coordinate masking
-    and optional in-kernel GroupNorm statistics.
+    """Slab-chain form of conv3d_k3s1_flat: in-kernel coordinate masking,
+    optional fused activation prologue, and optional in-kernel GroupNorm
+    statistics.
 
-    meta = (dext, H, W, want_sums) static; win: i32[2] = [vlo, vhi), the
-    valid input-plane window in REAL plane indices (plane q of xf holds
+    meta = (dext, H, W, want_sums[, act]) static; win: i32[2] = [vlo, vhi),
+    the valid input-plane window in REAL plane indices (plane q of xf holds
     global D-coordinate lo + q; the caller passes [−lo, level_d − lo)).
     Planes outside the window read as zeros — the dense path's per-conv
     zero padding semantics — replacing the explicit whole-slab mask
-    multiply (ops/slab.py `_mask_outside_flat`). With want_sums the kernel
-    also returns per-channel f32 (sum, sum-of-squares) of the output,
-    accumulated as a kernel by-product for the chains' GroupNorm stats
-    passes (no whole-slab read-back). Returns out | (out, s1, s2) with
-    s1, s2: (B, Cout) f32."""
-    dext, H, W, want_sums = meta
+    multiply (ops/slab.py `_mask_outside_flat`). act ('gelu' | 'silu' |
+    None) computes conv(act(xf)) with the activation applied at the
+    kernel's input load — the chains' act→conv pairs never materialize the
+    activated slab (see _pact). With want_sums the kernel also returns
+    per-channel f32 (sum, sum-of-squares) of the output, accumulated as a
+    kernel by-product for the chains' GroupNorm stats passes (no whole-slab
+    read-back). Returns out | (out, s1, s2) with s1, s2: (B, Cout) f32."""
+    dext, H, W, want_sums = meta[:4]
+    act = meta[4] if len(meta) > 4 else None
     window = (win[0], win[1], _NOMASK[0], _NOMASK[1])
     return _conv_fwd(xf, (dext, H, W), w, bias, interpret=_is_cpu(),
-                     window=window, want_sums=want_sums)
+                     window=window, want_sums=want_sums, act=act)
 
 
 def _vjp_fwd_chain(meta, xf, win, w, bias):
@@ -591,7 +691,8 @@ def _vjp_fwd_chain(meta, xf, win, w, bias):
 
 
 def _vjp_bwd_chain(meta, res, ct):
-    dext, H, W, want_sums = meta
+    dext, H, W, want_sums = meta[:4]
+    act = meta[4] if len(meta) > 4 else None
     xf, win, w, bias, out = res
     if want_sums:
         g, gs1, gs2 = ct
@@ -607,11 +708,16 @@ def _vjp_bwd_chain(meta, res, ct):
     # dgrad with vp=2 virtual padding; dx planes outside the forward's
     # input window are zeroed IN the kernel (the mask's transpose), so
     # upstream weight gradients see exact zeros at out-of-volume rows.
+    # With a fused activation prologue, dx = act'(xf) ⊙ convᵀ(g) — the
+    # act' multiply runs in the dgrad kernel's epilogue (xf streamed at
+    # the output blocks' own coordinates).
     dx = _conv_fwd(g, (dext - 2, H, W), wT, jnp.zeros((cin,), jnp.float32),
                    interpret=_is_cpu(), vp=2,
-                   window=(jnp.int32(0), jnp.int32(dext - 2), win[0], win[1]))
+                   window=(jnp.int32(0), jnp.int32(dext - 2), win[0], win[1]),
+                   dact=None if act is None else (act, xf))
     dw = _wgrad(xf, (dext, H, W), g, cout, interpret=_is_cpu(),
-                window=(win[0], win[1], _NOMASK[0], _NOMASK[1])).astype(w.dtype)
+                window=(win[0], win[1], _NOMASK[0], _NOMASK[1]),
+                act=act).astype(w.dtype)
     db = jnp.sum(g.astype(jnp.float32), axis=(0, 2)).astype(bias.dtype)
     d_win = np.zeros((2,), dtype=jax.dtypes.float0)
     return dx, d_win, dw, db

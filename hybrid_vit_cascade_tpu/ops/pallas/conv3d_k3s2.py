@@ -54,7 +54,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-from .conv3d_k3 import _NOMASK, _msk_spec, _window_arr
+from .conv3d_k3 import _NOMASK, _dact_f32, _msk_spec, _pact, _window_arr
 
 
 def _is_cpu() -> bool:
@@ -103,7 +103,7 @@ def _pack_weights_s2(w: jnp.ndarray, dtype):
 
 
 def _fwd_kernel(cin: int, cout: int, rp: int, xp: int, w_in: int,
-                dp: int, want_sums: bool, out_dtype, *refs):
+                dp: int, want_sums: bool, act, out_dtype, *refs):
     # Inputs: 3 z-plane main blocks (1, C, 2rp·W), 3 z-plane front-edge rows
     # (1, C, W), mask scalars, S (W, 2Xp), pair/single weights, bias; out
     # (1, Cout, rp·Xp) (+ optional (1, 1, 2, Cout) stats partials); scratch
@@ -126,7 +126,11 @@ def _fwd_kernel(cin: int, cout: int, rp: int, xp: int, w_in: int,
 
     # ---- pack stage: parity-split every input row with one MXU dot;
     # z-planes whose REAL index q = 2v + r is outside [vlo, vhi) pack as
-    # zeros (in-kernel coordinate masking, see conv3d_k3.py _stitch_z) ----
+    # zeros (in-kernel coordinate masking, see conv3d_k3.py _stitch_z).
+    # The fused activation prologue applies to the packed scratch AFTER this
+    # loop (S is a selection matrix, so pack∘act = act∘pack; values reaching
+    # the scratch are exact bf16 inputs, so act numerics match the s1
+    # kernel's). ----
     for r, (main, edge) in enumerate(((m0, e0), (m1, e1), (m2, e2))):
         zok = (2 * v + r >= vlo) & (2 * v + r < vhi)
         # front edge row: input y = 2·y'lo − 1 (odd) → py1 scratch row 0
@@ -154,6 +158,17 @@ def _fwd_kernel(cin: int, cout: int, rp: int, xp: int, w_in: int,
                   pl.ds((t + 1) * xp, xp)] = pk[cin:, 0:xp]
             s_ref[pl.ds(srow(1, 1) + r * cin, cin),
                   pl.ds((t + 1) * xp, xp)] = pk[cin:, xp:]
+
+    if act is not None:
+        # one whole-scratch activation pass after the (pure movement) pack
+        # stage; act(0) = 0 keeps masked rows masked, and the unwritten py0
+        # tail column is never read by the tap windows (see conv3d_k3.py
+        # _stitch_z for why act is not applied inline in the pack)
+        # chunked per parity group to bound f32 VPU temporaries
+        # (see conv3d_k3.py _stitch_z)
+        for pg in range(4):
+            s_ref[pl.ds(pg * 3 * cin, 3 * cin), :] = _pact(
+                act, s_ref[pl.ds(pg * 3 * cin, 3 * cin), :])
 
     # ---- conv stage: 9 tap columns, dz-pair + dz-single dots ----
     acc = jnp.broadcast_to(b_ref[:, :].astype(jnp.float32), (cout, Lp))
@@ -209,7 +224,7 @@ def _fwd_specs(cin: int, dp: int, rp: int, w_in: int, h_in: int):
 
 def _conv_fwd_s2(xf: jnp.ndarray, dims: tuple, w: jnp.ndarray,
                  bias: jnp.ndarray, interpret: bool, window=None,
-                 want_sums: bool = False):
+                 want_sums: bool = False, act: Optional[str] = None):
     """xf: (B, Cin, (2D'+1)·H·W) VALID in D → (B, Cout, D'·(H/2)·(W/2)).
 
     Flat rank-3 I/O like conv3d_k3.py's _conv_fwd — slab-chain bodies stay
@@ -237,7 +252,7 @@ def _conv_fwd_s2(xf: jnp.ndarray, dims: tuple, w: jnp.ndarray,
 
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, cin, cout, rp, xp, W, dp, want_sums,
-                          xf.dtype),
+                          act, xf.dtype),
         grid=(B * dp, nj),
         in_specs=_fwd_specs(cin, dp, rp, W, H) + [
             _msk_spec(),
@@ -268,12 +283,19 @@ def _conv_fwd_s2(xf: jnp.ndarray, dims: tuple, w: jnp.ndarray,
 
 
 def _dgrad_kernel(cout: int, cin: int, rp: int, xp: int, w_in: int,
-                  nplanes: int, even: bool, out_dtype, *refs):
+                  nplanes: int, even: bool, dact_act, out_dtype, *refs):
+    x_ref = None
     if even:
-        (ga, gb, ea, eb, msk_ref, s_mat, wt_ref, o_ref, s_ref) = refs
+        if dact_act is not None:
+            (ga, gb, ea, eb, msk_ref, s_mat, wt_ref, x_ref, o_ref, s_ref) = refs
+        else:
+            (ga, gb, ea, eb, msk_ref, s_mat, wt_ref, o_ref, s_ref) = refs
         kk = 2 * cout
     else:
-        (gb, eb, msk_ref, s_mat, wt_ref, o_ref, s_ref) = refs
+        if dact_act is not None:
+            (gb, eb, msk_ref, s_mat, wt_ref, x_ref, o_ref, s_ref) = refs
+        else:
+            (gb, eb, msk_ref, s_mat, wt_ref, o_ref, s_ref) = refs
         kk = cout
     bd = pl.program_id(0)
     j = pl.program_id(1)
@@ -329,6 +351,11 @@ def _dgrad_kernel(cout: int, cin: int, rp: int, xp: int, w_in: int,
             row = lax.dot_general(both, s_mat[...],
                                   (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
+            if dact_act is not None:
+                # fused-prologue backward: dx = act'(x) ⊙ convᵀ(g), x read
+                # at this output row's own coordinates
+                xrow = x_ref[0, :, (2 * t + prow) * w_in:(2 * t + prow + 1) * w_in]
+                row = row * _dact_f32(dact_act, xrow)
             o_ref[0, :, (2 * t + prow) * w_in:(2 * t + prow + 1) * w_in] = (
                 jnp.where(ok, row, 0.0).astype(out_dtype))
 
@@ -367,9 +394,11 @@ def _g_specs(cout: int, nplanes: int, rp: int, xp: int, hp: int, even: bool):
 
 
 def _dgrad_s2(gf: jnp.ndarray, gdims: tuple, w: jnp.ndarray,
-              interpret: bool, out_window=None) -> jnp.ndarray:
+              interpret: bool, out_window=None, dact=None) -> jnp.ndarray:
     """Flat dx (B, Cin, (2D'+1)·H·W) from gf (B, Cout, D'·H'·Xp);
-    gdims = (D', H', Xp)."""
+    gdims = (D', H', Xp). dact = (act_name, x_flat): multiply the emitted
+    rows by act'(x) — the backward of the forward's fused activation
+    prologue (x_flat is the forward's input, (B, Cin, (2D'+1)·H·W))."""
     dp, hp, xp = gdims
     B, cout = gf.shape[0], gf.shape[1]
     cin = w.shape[1]
@@ -385,21 +414,32 @@ def _dgrad_s2(gf: jnp.ndarray, gdims: tuple, w: jnp.ndarray,
     else:
         msk = jnp.stack((jnp.int32(0), jnp.int32(dp),
                          out_window[0], out_window[1])).astype(jnp.int32).reshape(1, 4)
+    dact_act = dact[0] if dact is not None else None
 
     outs = []
     for even in (True, False):
         nplanes = dp + 1 if even else dp
         wt_arr = pairT if even else singleT
         kk = 2 * cout if even else cout
+        dact_specs, dact_ops = [], []
+        if dact is not None:
+            # x block at this call's own output plane (2v / 2v+1 of the
+            # forward input's 2D'+1 planes), same 2rp-row geometry as out
+            par = 0 if even else 1
+            dact_specs = [pl.BlockSpec(
+                (1, cin, 2 * rp * W),
+                lambda bd, j, n=nplanes, par=par: (
+                    bd // n, 0, (2 * (bd % n) + par) * (hp // rp) + j))]
+            dact_ops = [dact[1]]
         out = pl.pallas_call(
             functools.partial(_dgrad_kernel, cout, cin, rp, xp, W,
-                              nplanes, even, gf.dtype),
+                              nplanes, even, dact_act, gf.dtype),
             grid=(B * nplanes, hp // rp),
             in_specs=_g_specs(cout, nplanes, rp, xp, hp, even) + [
                 _msk_spec(),
                 pl.BlockSpec((W, 2 * xp), lambda bd, j: (0, 0)),
                 pl.BlockSpec((3, 3, cin, kk), lambda bd, j: (0, 0, 0, 0)),
-            ],
+            ] + dact_specs,
             out_specs=pl.BlockSpec(
                 (1, cin, 2 * rp * W),
                 lambda bd, j, n=nplanes: (bd // n, 0,
@@ -409,7 +449,7 @@ def _dgrad_s2(gf: jnp.ndarray, gdims: tuple, w: jnp.ndarray,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "parallel")),
             interpret=interpret,
-        )(*([gf] * (4 if even else 2)), msk, s_mat, wt_arr)
+        )(*([gf] * (4 if even else 2)), msk, s_mat, wt_arr, *dact_ops)
         outs.append(out)
     dxe, dxo = outs  # flat (B, cin, (dp+1)·E), (B, cin, dp·E); E = H·W
     E = H * W
@@ -426,7 +466,7 @@ def _dgrad_s2(gf: jnp.ndarray, gdims: tuple, w: jnp.ndarray,
 
 
 def _wgrad_kernel(cin: int, cout: int, rp: int, xp: int, w_in: int,
-                  dp: int, *refs):
+                  dp: int, act, *refs):
     (m0, m1, m2, e0, e1, e2, msk_ref, s_mat, g_ref, o_ref, s_ref) = refs
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -465,6 +505,13 @@ def _wgrad_kernel(cin: int, cout: int, rp: int, xp: int, w_in: int,
             s_ref[pl.ds(srow(1, 1) + r * cin, cin),
                   pl.ds((t + 1) * xp, xp)] = pk[cin:, xp:]
 
+    if act is not None:
+        # chunked per parity group to bound f32 VPU temporaries
+        # (see conv3d_k3.py _stitch_z)
+        for pg in range(4):
+            s_ref[pl.ds(pg * 3 * cin, 3 * cin), :] = _pact(
+                act, s_ref[pl.ds(pg * 3 * cin, 3 * cin), :])
+
     g = g_ref[0, :, :]
     lane = lax.broadcasted_iota(jnp.int32, (1, Lp), 1) % xp
     gm1 = jnp.where(lane == xp - 1, jnp.zeros((), g.dtype),
@@ -486,9 +533,10 @@ def _wgrad_kernel(cin: int, cout: int, rp: int, xp: int, w_in: int,
 
 
 def _wgrad_s2(xf: jnp.ndarray, dims: tuple, gf: jnp.ndarray, cout: int,
-              interpret: bool, window=None) -> jnp.ndarray:
+              interpret: bool, window=None, act=None) -> jnp.ndarray:
     """dW (Cout, Cin, 3, 3, 3) from flat xf (B, Cin, (2D'+1)·H·W) and
-    gf (B, Cout, D'·H'·Xp); dims = (2D'+1, H, W)."""
+    gf (B, Cout, D'·H'·Xp); dims = (2D'+1, H, W); `act` replays the
+    forward's activation prologue."""
     dext, H, W = dims
     B, cin = xf.shape[0], xf.shape[1]
     dp, hp, xp = (dext - 1) // 2, H // 2, W // 2
@@ -498,7 +546,7 @@ def _wgrad_s2(xf: jnp.ndarray, dims: tuple, gf: jnp.ndarray, cout: int,
     msk = _window_arr(dext, window)
 
     out = pl.pallas_call(
-        functools.partial(_wgrad_kernel, cin, cout, rp, xp, W, dp),
+        functools.partial(_wgrad_kernel, cin, cout, rp, xp, W, dp, act),
         grid=(B * dp, hp // rp),
         in_specs=_fwd_specs(cin, dp, rp, W, H) + [
             _msk_spec(),
@@ -553,14 +601,16 @@ conv3d_k3s2_flat.defvjp(_vjp_fwd, _vjp_bwd)
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def conv3d_k3s2_chain(meta: tuple, xf: jnp.ndarray, win: jnp.ndarray,
                       w: jnp.ndarray, bias: jnp.ndarray):
-    """Slab-chain form of conv3d_k3s2_flat: in-kernel coordinate masking and
-    optional in-kernel GroupNorm statistics (see conv3d_k3.conv3d_k3s1_chain
-    for the contract — win is the valid input-plane window [vlo, vhi) in
-    real plane indices)."""
-    dext, H, W, want_sums = meta
+    """Slab-chain form of conv3d_k3s2_flat: in-kernel coordinate masking,
+    optional fused activation prologue, and optional in-kernel GroupNorm
+    statistics (see conv3d_k3.conv3d_k3s1_chain for the contract — win is
+    the valid input-plane window [vlo, vhi) in real plane indices;
+    meta = (dext, H, W, want_sums[, act]))."""
+    dext, H, W, want_sums = meta[:4]
+    act = meta[4] if len(meta) > 4 else None
     window = (win[0], win[1], _NOMASK[0], _NOMASK[1])
     return _conv_fwd_s2(xf, (dext, H, W), w, bias, interpret=_is_cpu(),
-                        window=window, want_sums=want_sums)
+                        window=window, want_sums=want_sums, act=act)
 
 
 def _vjp_fwd_chain(meta, xf, win, w, bias):
@@ -569,7 +619,8 @@ def _vjp_fwd_chain(meta, xf, win, w, bias):
 
 
 def _vjp_bwd_chain(meta, res, ct):
-    dext, H, W, want_sums = meta
+    dext, H, W, want_sums = meta[:4]
+    act = meta[4] if len(meta) > 4 else None
     dp, hp, xp = (dext - 1) // 2, H // 2, W // 2
     xf, win, w, bias, out = res
     if want_sums:
@@ -580,9 +631,11 @@ def _vjp_bwd_chain(meta, res, ct):
         g = ct
     g = g.astype(xf.dtype)
     dx = _dgrad_s2(g, (dp, hp, xp), w.astype(xf.dtype), interpret=_is_cpu(),
-                   out_window=win)
+                   out_window=win,
+                   dact=None if act is None else (act, xf))
     dw = _wgrad_s2(xf, (dext, H, W), g, w.shape[0], interpret=_is_cpu(),
-                   window=(win[0], win[1], _NOMASK[0], _NOMASK[1])).astype(w.dtype)
+                   window=(win[0], win[1], _NOMASK[0], _NOMASK[1]),
+                   act=act).astype(w.dtype)
     db = jnp.sum(g.astype(jnp.float32), axis=(0, 2)).astype(bias.dtype)
     d_win = np.zeros((2,), dtype=jax.dtypes.float0)
     return dx, d_win, dw, db

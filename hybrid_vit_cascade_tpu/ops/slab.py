@@ -475,7 +475,8 @@ def _group_sums_flat(h: jnp.ndarray, groups: int):
 
 
 def _conv_flat(h: jnp.ndarray, dims: Tuple[int, int, int], kernel: jnp.ndarray,
-               bias, stride: int, dtype, win=None, want_sums: bool = False):
+               bias, stride: int, dtype, win=None, want_sums: bool = False,
+               pro_act: Optional[str] = None):
     """Dispatch one conv on a flat slab: k1 → channel dot_general (already
     layout-native), k3 s1/s2 → the flat Pallas kernels.
 
@@ -483,10 +484,12 @@ def _conv_flat(h: jnp.ndarray, dims: Tuple[int, int, int], kernel: jnp.ndarray,
     out-of-volume planes IN the kernel (dense SAME-conv zero-pad semantics,
     no whole-slab mask pass). `want_sums` → (out, s1, s2) with in-kernel
     per-channel f32 (sum, sum-of-squares) of the output — the GroupNorm
-    statistics by-product (k3 only)."""
+    statistics by-product (k3 only). `pro_act` fuses the chain's preceding
+    activation into the kernel's input load (conv(act(h)); k3 only)."""
     d, H, W = dims
     k = kernel.shape[-1]
     if k == 1 and stride == 1:
+        assert pro_act is None
         B = h.shape[0]
         wmat = kernel.reshape(kernel.shape[0], kernel.shape[1]).astype(dtype)
         out = lax.dot_general(
@@ -502,8 +505,9 @@ def _conv_flat(h: jnp.ndarray, dims: Tuple[int, int, int], kernel: jnp.ndarray,
     b = bias if bias is not None else jnp.zeros((kernel.shape[0],), jnp.float32)
     if win is not None:
         fn = conv3d_k3s1_chain if stride == 1 else conv3d_k3s2_chain
-        return fn((d, H, W, want_sums), h.astype(dtype), win,
+        return fn((d, H, W, want_sums, pro_act), h.astype(dtype), win,
                   kernel.astype(dtype), b)
+    assert pro_act is None
     fn = conv3d_k3s1_flat if stride == 1 else conv3d_k3s2_flat
     return fn((d, H, W), h.astype(dtype), kernel.astype(dtype), b)
 
@@ -516,21 +520,44 @@ def _run_prefix_flat(h: jnp.ndarray, seg: Sequence[Tuple],
     `h`, walked forward through the (already conv-gn-folded) segment.
 
     Out-of-volume coordinate masking happens INSIDE the k3 conv kernels
-    (the [−lo, level_d−lo) plane window). With `endpoint_sums` the final
-    op (which must be a k3 conv — callers check) also returns per-channel
-    (sum, sum-of-squares) accumulated in-kernel, and the return value is
-    (h, s1, s2)."""
+    (the [−lo, level_d−lo) plane window), and an activation immediately
+    preceding a k3 conv fuses into that conv's input load (the kernels'
+    activation prologue) — after the batch-1 conv→gn weight fold, the
+    whole segment body is typically pure kernel calls with ZERO standalone
+    elementwise passes. With `endpoint_sums` the final op (which must be a
+    k3 conv — callers check) also returns per-channel (sum, sum-of-squares)
+    accumulated in-kernel, and the return value is (h, s1, s2)."""
     d_cur, H, W = dims
+    # Optionally fuse ("act", name) into an immediately following k3 conv
+    # (the kernels' activation prologue). DEFAULT OFF — measured a net LOSS
+    # on v5e: the fusion removes ~80 ms/step of XLA whole-slab act passes
+    # but adds ~130 ms of in-kernel VPU time at stage 3 (the z-stitch loads
+    # every plane 3× so the act replays 3.75× per element, and neither a
+    # 3×-cheaper erf nor chunked post-stitch application moved the cost —
+    # 1459/1471 ms/step fused vs 1404 unfused, trace-measured). Kept behind
+    # HVC_ACT_FUSE=1 for future hardware where VPU/DMA ratios differ.
+    fuse_ok = os.environ.get("HVC_ACT_FUSE", "0") == "1"
+    fused: List[Tuple[Tuple, Optional[str]]] = []
+    i = 0
+    while i < len(seg):
+        op = seg[i]
+        if (fuse_ok and op[0] == "act" and i + 1 < len(seg)
+                and seg[i + 1][0] == "conv" and seg[i + 1][1].shape[-1] == 3):
+            fused.append((seg[i + 1], op[1]))
+            i += 2
+        else:
+            fused.append((op, None))
+            i += 1
     gn_i = 0
-    for i, op in enumerate(seg):
+    for i, (op, pro_act) in enumerate(fused):
         if op[0] == "conv":
             _, kernel, bias, stride = op
             k = kernel.shape[-1]
             win = jnp.stack([-lo, level_d - lo]).astype(jnp.int32) \
                 if k == 3 else None
-            sums = endpoint_sums and i == len(seg) - 1
+            sums = endpoint_sums and i == len(fused) - 1
             h = _conv_flat(h, (d_cur, H, W), kernel, bias, stride, dtype,
-                           win=win, want_sums=sums)
+                           win=win, want_sums=sums, pro_act=pro_act)
             if k == 3:
                 d_cur = d_cur - 2 if stride == 1 else (d_cur - 1) // 2
                 lo = lo + 1  # first VALID output coord (= window center for s2)

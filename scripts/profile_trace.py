@@ -20,7 +20,8 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def capture(stage: int, batch: int, tracedir: str, iters: int) -> None:
+def capture(stage: int, batch: int, tracedir: str, iters: int,
+            slabs: int = 8) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -34,7 +35,8 @@ def capture(stage: int, batch: int, tracedir: str, iters: int) -> None:
 
     res = {1: 64, 2: 128, 3: 256}[stage]
     model = ProgressiveCascadeModel(dtype=jnp.bfloat16, attn_impl="auto",
-                                    stage3_slab_scan=(stage == 3), remat_mode="mlp")
+                                    stage3_slab_scan=(stage == 3), remat_mode="mlp",
+                                    slab_count=slabs)
     xrays = jnp.zeros((batch, 2, 1, 512, 512), jnp.bfloat16)
     variables = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), xrays, max_stage=stage))
     variables = jax.tree.map(lambda s: (jnp.zeros(s.shape, s.dtype)
@@ -170,10 +172,11 @@ def main():
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--tracedir", type=str, default="/tmp/step_trace")
+    ap.add_argument("--slabs", type=int, default=8)
     ap.add_argument("--analyze-only", action="store_true")
     args = ap.parse_args()
     if not args.analyze_only:
-        capture(args.stage, args.batch, args.tracedir, args.iters)
+        capture(args.stage, args.batch, args.tracedir, args.iters, args.slabs)
     analyze(args.tracedir, args.top)
 
 

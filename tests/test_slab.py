@@ -156,16 +156,21 @@ class TestFlatStreamedBody:
     TPU-only in production; HVC_PALLAS_INTERPRET=1 runs the same code path
     on CPU through the kernels' interpret mode."""
 
+    @pytest.mark.parametrize("act_fuse", ["0", "1"])
     @pytest.mark.parametrize("spec,shape,num_slabs", [
         (FLAT_S1_SPEC, (1, 1, 8, 4, 128), 4),
         (FLAT_S1_SPEC, (2, 1, 8, 4, 128), 2),   # B=2: conv-gn fold disabled
         (FLAT_S2_SPEC, (1, 1, 8, 4, 256), 2),
     ])
-    def test_flat_values_match_dense(self, rng, monkeypatch, spec, shape, num_slabs):
+    def test_flat_values_match_dense(self, rng, monkeypatch, spec, shape,
+                                     num_slabs, act_fuse):
         chain = _make_chain(rng, spec)
         x = jnp.asarray(rng.normal(0, 1, shape), jnp.float32)
         dense = chain_apply_dense(x, chain)  # XLA path (env not yet set)
         monkeypatch.setenv("HVC_PALLAS_INTERPRET", "1")
+        # act_fuse=1: the kernels' in-kernel activation prologue (off by
+        # default on v5e — perf; the code path must stay correct)
+        monkeypatch.setenv("HVC_ACT_FUSE", act_fuse)
         for kw in (dict(store_min_flops=0.0, dense_max_voxels=0),
                    dict(store_min_flops=1e30, dense_max_voxels=0)):
             got = chain_apply_streamed(x, chain, num_slabs, **kw)
@@ -173,7 +178,8 @@ class TestFlatStreamedBody:
             np.testing.assert_allclose(np.asarray(got), np.asarray(dense),
                                        rtol=2e-5, atol=2e-5, err_msg=str(kw))
 
-    def test_flat_gradients_match_dense(self, rng, monkeypatch):
+    @pytest.mark.parametrize("act_fuse", ["0", "1"])
+    def test_flat_gradients_match_dense(self, rng, monkeypatch, act_fuse):
         chain = _make_chain(rng, FLAT_S1_SPEC)
         x = jnp.asarray(rng.normal(0, 1, (1, 1, 8, 4, 128)), jnp.float32)
         cot = jnp.asarray(rng.normal(0, 1, (1, 2, 8, 4, 128)), jnp.float32)
@@ -189,6 +195,7 @@ class TestFlatStreamedBody:
 
         gx_d, gc_d = jax.grad(loss(chain_apply_dense), argnums=(0, 1))(x, arrays)
         monkeypatch.setenv("HVC_PALLAS_INTERPRET", "1")
+        monkeypatch.setenv("HVC_ACT_FUSE", act_fuse)
         # always-store exercises the endpoint-sums VJP branch; never-store
         # (pure recompute) exercises the plain chain-conv VJP branch
         for smf in (0.0, 1e30):
