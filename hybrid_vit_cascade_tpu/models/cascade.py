@@ -169,6 +169,9 @@ class DetailEnhancer(nn.Module, _ChainParams):
     # 'streamed' (endpoint-storing, round-3 scheme — ~2× less conv work) or
     # 'recompute' (round-2 zero-storage scheme); identical numerics
     slab_impl: str = "streamed"
+    # endpoint-storing threshold override (None → chain_apply_streamed's
+    # train-tuned default; 0.0 = store every segment endpoint, the eval policy)
+    store_min_flops: Optional[float] = None
 
     @nn.compact
     def __call__(self, base: jnp.ndarray) -> jnp.ndarray:  # (B, 1, D, H, W)
@@ -185,7 +188,8 @@ class DetailEnhancer(nn.Module, _ChainParams):
         ]
         if self.slab_scan:
             if self.slab_impl == "streamed":
-                return chain_apply_streamed(base, chain, self.slab_count, dtype=self.dtype)
+                kw = {} if self.store_min_flops is None else {"store_min_flops": self.store_min_flops}
+                return chain_apply_streamed(base, chain, self.slab_count, dtype=self.dtype, **kw)
             return chain_apply_slab(base, chain, self.slab_count, dtype=self.dtype)
         if self.remat:
             from ..ops.slab import chain_apply_dense_remat
@@ -216,6 +220,7 @@ class Stage3ViTTrunk(nn.Module, _ChainParams):
     slab_scan: bool = False
     slab_count: int = 8
     slab_impl: str = "streamed"
+    store_min_flops: Optional[float] = None  # see DetailEnhancer
 
     @nn.compact
     def __call__(self, vol_nc: jnp.ndarray, context: jnp.ndarray, cond: jnp.ndarray, train: bool = False):
@@ -242,7 +247,8 @@ class Stage3ViTTrunk(nn.Module, _ChainParams):
 
         if self.slab_scan:
             if self.slab_impl == "streamed":
-                feat = chain_apply_streamed(x1, chain, self.slab_count, dtype=self.dtype)
+                kw = {} if self.store_min_flops is None else {"store_min_flops": self.store_min_flops}
+                feat = chain_apply_streamed(x1, chain, self.slab_count, dtype=self.dtype, **kw)
             else:
                 feat = chain_apply_slab(x1, chain, self.slab_count, dtype=self.dtype)
         else:
@@ -288,11 +294,30 @@ class Stage3Refiner256(nn.Module):
     slab_scan: bool = False
     slab_count: int = 8
     slab_impl: str = "streamed"
+    store_min_flops: Optional[float] = None  # see DetailEnhancer
+    # eval-time (train=False) conv-chain schedule:
+    #   'auto'  — streamed flat-layout chains with one whole-volume slab and
+    #             every endpoint stored. At eval no residuals are live, so
+    #             memory is abundant and this is the measured-fastest
+    #             schedule (v5e 256³ b1: 389 ms vs 455 dense vs 424 for the
+    #             train-tuned 8-slab streaming — the dense rank-5 path pays
+    #             ~104 ms of pure relayout at XLA↔Pallas-conv boundaries,
+    #             wave-8 device trace).
+    #   'train' — reuse the training-time flags above unchanged.
+    # Parameters are identical across schedules (flip freely per call).
+    eval_schedule: str = "auto"
+
+    def _schedule(self, train: bool):
+        """(slab_scan, slab_count, slab_impl, store_min_flops) for this call."""
+        if not train and self.eval_schedule == "auto":
+            return True, 1, "streamed", 0.0
+        return self.slab_scan, self.slab_count, self.slab_impl, self.store_min_flops
 
     @nn.compact
     def __call__(
         self, volume_128: jnp.ndarray, xray_feats: jnp.ndarray, cond: jnp.ndarray, train: bool = False
     ) -> jnp.ndarray:
+        slab_scan, slab_count, slab_impl, store_min_flops = self._schedule(train)
         B = volume_128.shape[0]
         vol_nc = _nchw3d(volume_128)  # (B, 1, 128³) — singleton move, no copy cost
         context = xray_feats.reshape(B, -1, self.xray_feature_dim)
@@ -302,7 +327,7 @@ class Stage3Refiner256(nn.Module):
         # residual the 33 MB 1-ch input. With slab streaming the chain is
         # internally rematerialized per slab, so no outer region is needed.
         trunk_cls = Stage3ViTTrunk
-        if self.remat and not self.slab_scan:
+        if self.remat and train and not slab_scan:
             trunk_cls = nn.remat(Stage3ViTTrunk, static_argnums=(4,))
         refinement = trunk_cls(
             volume_size=self.volume_size,
@@ -314,18 +339,20 @@ class Stage3Refiner256(nn.Module):
             attn_impl=self.attn_impl,
             inner_remat=self.remat,
             remat_mode=self.remat_mode,
-            slab_scan=self.slab_scan,
-            slab_count=self.slab_count,
-            slab_impl=self.slab_impl,
+            slab_scan=slab_scan,
+            slab_count=slab_count,
+            slab_impl=slab_impl,
+            store_min_flops=store_min_flops,
             name="vit_trunk",
         )(vol_nc, context, cond, train)
 
         base_nc = resize_trilinear(vol_nc, self.volume_size, align_corners=False)  # (B, 1, 256³)
 
         details = DetailEnhancer(
-            dtype=self.dtype, remat=self.remat and not self.slab_scan,
-            slab_scan=self.slab_scan, slab_count=self.slab_count,
-            slab_impl=self.slab_impl, name="detail_enhancer",
+            dtype=self.dtype, remat=self.remat and train and not slab_scan,
+            slab_scan=slab_scan, slab_count=slab_count,
+            slab_impl=slab_impl, store_min_flops=store_min_flops,
+            name="detail_enhancer",
         )(base_nc)
 
         base = _ndhwc(base_nc)
@@ -368,6 +395,14 @@ class ProgressiveCascadeModel(nn.Module):
     slab_count: int = 8
     # 'streamed' (endpoint-storing, ~2× faster) | 'recompute' (zero-storage)
     slab_impl: str = "streamed"
+    # endpoint-storing threshold for the streamed impl (None → train-tuned
+    # default in ops/slab.py; 0.0 = store every endpoint, the eval policy —
+    # at eval no residuals are live so memory is abundant)
+    stage3_store_min_flops: Optional[float] = None
+    # eval-time stage-3 schedule: 'auto' (streamed slabs=1 store-all, the
+    # measured-fastest eval path) | 'train' (reuse the flags above) —
+    # see Stage3Refiner256.eval_schedule
+    stage3_eval_schedule: str = "auto"
     # capture stage-1 cross-attention maps into 'intermediates' (run apply
     # with mutable=['intermediates'], then models.collect_attention_maps)
     store_attention: bool = False
@@ -440,6 +475,8 @@ class ProgressiveCascadeModel(nn.Module):
                 slab_scan=self.stage3_slab_scan,
                 slab_count=self.slab_count,
                 slab_impl=self.slab_impl,
+                store_min_flops=self.stage3_store_min_flops,
+                eval_schedule=self.stage3_eval_schedule,
                 name="stage3",
             )(vol128, feats3, cond, train=train)
             outputs["stage3"] = _nchw3d(vol256)

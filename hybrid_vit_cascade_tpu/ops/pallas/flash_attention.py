@@ -66,6 +66,11 @@ FUSED_BWD = os.environ.get("HVC_FLASH_FUSED_BWD", "1") != "0"
 BWD_FUSED_BLOCK_Q = 1024
 BWD_FUSED_BLOCK_KV = 2048
 BWD_FUSED_VMEM_LIMIT = 100 * 1024 * 1024
+# Forward scoped-VMEM limit. 0 = compiler default (16 MB), which capped the
+# round-2 block sweep at (1024, 2048); a raised limit admits (2048, ·) /
+# (·, 4096) tiles whose fp32 score block alone is 8-16 MB. Sweepable via
+# HVC_FLASH_FWD_VMEM (bytes) before import, or by setting the module attr.
+FWD_VMEM_LIMIT = int(os.environ.get("HVC_FLASH_FWD_VMEM", "0"))
 LANE = 128
 NEG_INF = -1e30
 # Base-2 softmax: log2(e) is folded into the q pre-scale, so the kernels run
@@ -170,6 +175,7 @@ def _flash_fwd_padded(q, k, v, kv_len, block_q, block_kv, sum_lane, interpret):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            **({"vmem_limit_bytes": FWD_VMEM_LIMIT} if FWD_VMEM_LIMIT else {}),
         ),
         interpret=interpret,
     )(q, k, v)

@@ -342,9 +342,13 @@ class TestCascadeParity:
 
     def test_cascade_parity_slab_path(self, rng):
         """The slab-streamed stage-3 schedule must match the same torch
-        oracle — parity holds for the memory-lean TRAINING path too."""
+        oracle — parity holds for the memory-lean TRAINING path too.
+        (eval_schedule='train' pins the train-tuned slab schedule at this
+        train=False call; the default 'auto' eval schedule is what
+        test_cascade_matches_torch exercises.)"""
         tm = self._build()
-        jm = self._jax_model(stage3_slab_scan=True, slab_count=4)
+        jm = self._jax_model(stage3_slab_scan=True, slab_count=4,
+                             stage3_eval_schedule="train")
         variables = torch_to_jax_variables(tm)
         xr = rng.normal(0, 1, (1, 2, 1, XR, XR)).astype(np.float32)
         with torch.no_grad():

@@ -219,8 +219,13 @@ class TestStage3SlabParity:
 
         kw = dict(volume_size=(32, 32, 32), voxel_dim=32, vit_depth=1, num_heads=4,
                   xray_feature_dim=16, attn_impl="xla")
-        dense_m = Stage3Refiner256(**kw, remat=False, slab_scan=False)
-        slab_m = Stage3Refiner256(**kw, remat=False, slab_scan=True, slab_count=4)
+        # eval_schedule='train' pins the per-call schedule to the configured
+        # flags (the default 'auto' would route BOTH models through the
+        # eval-tuned streamed path, defeating the A/B)
+        dense_m = Stage3Refiner256(**kw, remat=False, slab_scan=False, eval_schedule="train")
+        slab_m = Stage3Refiner256(**kw, remat=False, slab_scan=True, slab_count=4,
+                                  eval_schedule="train")
+        auto_m = Stage3Refiner256(**kw, remat=False)  # production eval default
 
         vol = jnp.asarray(rng.normal(0, 0.5, (1, 16, 16, 16, 1)), jnp.float32)
         feats = jnp.asarray(rng.normal(0, 1, (1, 4, 4, 16)), jnp.float32)
@@ -233,6 +238,10 @@ class TestStage3SlabParity:
         out_d = dense_m.apply(variables, vol, feats, cond)
         out_s = slab_m.apply(variables, vol, feats, cond)
         np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_d), rtol=3e-5, atol=3e-5)
+        # the auto eval schedule (streamed, slabs=1, store-all) is a pure
+        # scheduling choice too: same params, same output
+        out_a = auto_m.apply(variables, vol, feats, cond)
+        np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_d), rtol=3e-5, atol=3e-5)
 
     def test_stage3_slab_gradients_finite(self, rng):
         from hybrid_vit_cascade_tpu.models.cascade import Stage3Refiner256
