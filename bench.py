@@ -34,14 +34,17 @@ def _sync(x):
     return float(jnp.asarray(x).astype(jnp.float32).mean())
 
 
-def bench_inference(n_iters: int = 5) -> float:
+def bench_inference(n_iters: int = 5, batch: int = 2) -> float:
+    """Serving throughput at the throughput-optimal batch (sweep on v5e,
+    wave 9: b1 2.58 vol/s, b2 2.71, b4 exceeds the chip — batch 2 amortizes
+    dispatch + kernel grid overheads)."""
     import jax
     import jax.numpy as jnp
 
     from hybrid_vit_cascade_tpu.models import ProgressiveCascadeModel
 
     model = ProgressiveCascadeModel(dtype=jnp.bfloat16, attn_impl="auto")
-    xrays = jnp.zeros((1, 2, 1, 512, 512), jnp.bfloat16)
+    xrays = jnp.zeros((batch, 2, 1, 512, 512), jnp.bfloat16)
     variables = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), xrays, max_stage=3))
     # random-ish params without a giant host init: zeros are fine for timing
     variables = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), variables)

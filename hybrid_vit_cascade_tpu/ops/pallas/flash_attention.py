@@ -46,6 +46,15 @@ from jax.experimental.pallas import tpu as pltpu
 # measures 60.6 ms at the same shape/blocks — this kernel is ~10% faster.
 DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_KV = 2048
+# Long-kv upgrade (requires the raised scoped-VMEM limit below): the wave-9
+# sweep at 8×32,768×d32 with vmem_limit=100 MB measured (2048,4096) 50.2 ms
+# < (4096,2048) 50.6 < (2048,2048) 51.3 < (1024,4096) 51.6 < (1024,2048)
+# 51.8 — fewer online-softmax correction passes per score row. The hot
+# cross-attention (32,768 q × 4,096 kv) showed no gain (28.4 ms stays best
+# at the defaults), so the upgrade keys on kv length.
+LONG_KV_THRESHOLD = 32768
+LONG_KV_BLOCK_Q = 2048
+LONG_KV_BLOCK_KV = 4096
 # The backward kernels keep three (block_q, block_kv) fp32 temporaries live;
 # (1024, 1024) is the largest VMEM-feasible backward tile.
 BWD_BLOCK_Q = 1024
@@ -175,7 +184,11 @@ def _flash_fwd_padded(q, k, v, kv_len, block_q, block_kv, sum_lane, interpret):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
-            **({"vmem_limit_bytes": FWD_VMEM_LIMIT} if FWD_VMEM_LIMIT else {}),
+            # wide tiles ((2048,·)/(·,4096)) exceed the 16 MB compiler
+            # default; raise to the same scoped budget the fused bwd uses
+            **({"vmem_limit_bytes": FWD_VMEM_LIMIT} if FWD_VMEM_LIMIT
+               else ({"vmem_limit_bytes": BWD_FUSED_VMEM_LIMIT}
+                     if (block_q > 1024 or block_kv > 2048) else {})),
         ),
         interpret=interpret,
     )(q, k, v)
@@ -598,6 +611,13 @@ def flash_attention(
         scale = 1.0 / math.sqrt(q.shape[-1])
     B, H, nq, d = q.shape
     nk = k.shape[2]
+    # Per-shape tuning: long-kv calls (stage-3 self-attention) run fastest
+    # with wider tiles under the raised scoped-VMEM limit (see LONG_KV_*).
+    # Only when the caller left the defaults — explicit blocks win.
+    if (block_q, block_kv) == (DEFAULT_BLOCK_Q, DEFAULT_BLOCK_KV) \
+            and nk >= LONG_KV_THRESHOLD and nk % LONG_KV_BLOCK_KV == 0 \
+            and nq % LONG_KV_BLOCK_Q == 0:
+        block_q, block_kv = LONG_KV_BLOCK_Q, LONG_KV_BLOCK_KV
     # Fold the scale into q OUTSIDE the custom-VJP core (autodiff then scales
     # dq through the chain rule) so the kernel never multiplies the score
     # block — one fewer VPU op per score element in the VPU-bound kernel.

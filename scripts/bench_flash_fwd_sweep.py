@@ -30,7 +30,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from hybrid_vit_cascade_tpu.ops.pallas import flash_attention as fa
+    # NB: ops.pallas re-exports a *function* named flash_attention that shadows
+    # the submodule attribute; importlib resolves the module itself
+    import importlib
+
+    fa = importlib.import_module("hybrid_vit_cascade_tpu.ops.pallas.flash_attention")
 
     def _sync(x):
         return float(jnp.asarray(x).astype(jnp.float32).mean())

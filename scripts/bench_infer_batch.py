@@ -4,10 +4,12 @@ Batch >1 amortizes kernel grid/dispatch overheads; this sweep finds the
 throughput-optimal batch that still fits the chip.
 """
 
+import os
 import sys
 import time
 from pathlib import Path
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/jaxcache")
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
