@@ -137,3 +137,28 @@ class TestFlashAttention:
         np.testing.assert_allclose(
             np.asarray(out, dtype=np.float32), np.asarray(want), rtol=3e-2, atol=3e-2
         )
+
+    def test_long_kv_auto_block_upgrade(self, rng, monkeypatch):
+        """Default-block calls auto-upgrade tiles when kv is long (the
+        stage-3 self-attention shape class). Lower the threshold so the
+        interpreted kernel exercises the exact production branch cheaply,
+        and assert the upgraded tiling is numerically identical to the
+        explicit-block call it replaces."""
+        import importlib
+
+        # ops.pallas re-exports a function named flash_attention that shadows
+        # the submodule attribute; importlib resolves the module itself
+        fa = importlib.import_module("hybrid_vit_cascade_tpu.ops.pallas.flash_attention")
+
+        monkeypatch.setattr(fa, "LONG_KV_THRESHOLD", 256)
+        monkeypatch.setattr(fa, "LONG_KV_BLOCK_Q", 128)
+        monkeypatch.setattr(fa, "LONG_KV_BLOCK_KV", 256)
+        q, k, v = _qkv(rng, nq=256, nk=256, d=32)
+        got = fa.flash_attention(q, k, v)  # defaults → upgraded tiles
+        want = fa.flash_attention(q, k, v, block_q=128, block_kv=256)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        # non-divisible kv must NOT upgrade (mask elision stays static)
+        q2, k2, v2 = _qkv(rng, nq=256, nk=250, d=32)
+        got2 = fa.flash_attention(q2, k2, v2)
+        want2 = _reference_attention(q2, k2, v2, 32 ** -0.5)
+        np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), rtol=2e-5, atol=2e-5)
