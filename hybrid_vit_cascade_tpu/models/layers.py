@@ -22,8 +22,12 @@ Dtype = Any
 
 
 def gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
-    """torch nn.GELU default (erf form, not tanh approximation)."""
-    return nn.gelu(x, approximate=False)
+    """torch nn.GELU default (erf form, not tanh approximation). Half
+    precision uses the polynomial-erf fast path (ops/activations.py —
+    1-bf16-ulp-identical, runs at the HBM floor instead of VPU-bound)."""
+    from ..ops.activations import gelu_erf
+
+    return gelu_erf(x)
 
 
 class FastDropout(nn.Module):

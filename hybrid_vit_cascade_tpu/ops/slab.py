@@ -171,8 +171,10 @@ def conv3d_ncdhw(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray
 
 
 def _act(name: str, x: jnp.ndarray) -> jnp.ndarray:
-    if name == "gelu":  # torch nn.GELU default (erf form)
-        return jax.nn.gelu(x, approximate=False)
+    if name == "gelu":  # torch nn.GELU default (erf form); poly fast path
+        from .activations import gelu_erf
+
+        return gelu_erf(x)
     if name == "silu":
         return jax.nn.silu(x)
     raise ValueError(name)
@@ -360,6 +362,14 @@ def _slice_slab(src: jnp.ndarray, j, F: int, sd: int, c_lo: int, ext: int) -> jn
     B, C = src.shape[0], src.shape[1]
     dsrc = src.shape[2]
     s_lo = j * (F * sd) + c_lo
+    if isinstance(j, int):  # static slab index (the 1-slab eval schedule):
+        # exact halo pad + static slice — no dynamic_slice, no roll
+        pad_lo = max(0, -s_lo)
+        pad_hi = max(0, s_lo + ext - dsrc)
+        xp = src if pad_lo == 0 and pad_hi == 0 else jnp.pad(
+            src, ((0, 0), (0, 0), (pad_lo, pad_hi), (0, 0), (0, 0)))
+        start = s_lo + pad_lo
+        return lax.slice_in_dim(xp, start, start + ext, axis=2)
     if ext > dsrc:  # degenerate (tiny test volumes): pad for real
         pad_lo = max(0, -c_lo)
         xp = jnp.pad(src, ((0, 0), (0, 0), (pad_lo, ext), (0, 0), (0, 0)))
@@ -436,6 +446,13 @@ def _slice_slab_flat(srcf: jnp.ndarray, j, F: int, sd: int, c_lo: int,
     (rows rotated in are garbage-but-masked, see _slice_slab)."""
     B, C = srcf.shape[0], srcf.shape[1]
     s_lo = j * (F * sd) + c_lo
+    if isinstance(j, int):  # static slab index: exact pad + static slice
+        pad_lo = max(0, -s_lo)
+        pad_hi = max(0, s_lo + ext - dsrc)
+        xp = srcf if pad_lo == 0 and pad_hi == 0 else jnp.pad(
+            srcf, ((0, 0), (0, 0), (pad_lo * hw, pad_hi * hw)))
+        start = (s_lo + pad_lo) * hw
+        return lax.slice_in_dim(xp, start, start + ext * hw, axis=2)
     if ext > dsrc:  # degenerate (tiny test volumes): pad for real
         pad_lo = max(0, -c_lo)
         xp = jnp.pad(srcf, ((0, 0), (0, 0), (pad_lo * hw, ext * hw)))
@@ -717,7 +734,6 @@ def chain_apply_streamed(x: jnp.ndarray, chain: Sequence[Tuple], num_slabs: int 
         ksums = (use_flat and want_stats and len(seg) > 0
                  and seg[-1][0] == "conv" and seg[-1][1].shape[-1] == 3)
 
-        @jax.checkpoint
         def body(carry, j):
             if use_flat:
                 islab = _slice_slab_flat(src, j, F, sd, c_lo, ext, Hs * Ws, dsrc)
@@ -741,14 +757,24 @@ def chain_apply_streamed(x: jnp.ndarray, chain: Sequence[Tuple], num_slabs: int 
             return carry, (h if emit else None)
 
         init = (jnp.zeros((B, groups), jnp.float32),) * 2 if want_stats else 0
-        carry, ys = lax.scan(body, init, jnp.arange(n))
-        out = None
-        if emit:
-            if use_flat:  # ys (n, B, C, sd·H·W) → flat (B, C, D·H·W)
-                out = jnp.moveaxis(ys, 0, 2).reshape(
-                    B, C_out, D_out * H_out * W_out)
-            else:
-                out = jnp.moveaxis(ys, 0, 2).reshape(B, C_out, D_out, H_out, W_out)
+        if n == 1:
+            # single whole-volume slab (the eval schedule): straight-line
+            # call with a STATIC slab index — no lax.scan while-loop, no
+            # dynamic-update-slice into a stacked ys buffer, and the halo
+            # slice becomes an exact pad + static slice (see _slice_slab*).
+            carry, y = jax.checkpoint(lambda c: body(c, 0))(init)
+            out = y if emit else None
+            if emit and use_flat:
+                out = out.reshape(B, C_out, D_out * H_out * W_out)
+        else:
+            carry, ys = lax.scan(jax.checkpoint(body), init, jnp.arange(n))
+            out = None
+            if emit:
+                if use_flat:  # ys (n, B, C, sd·H·W) → flat (B, C, D·H·W)
+                    out = jnp.moveaxis(ys, 0, 2).reshape(
+                        B, C_out, D_out * H_out * W_out)
+                else:
+                    out = jnp.moveaxis(ys, 0, 2).reshape(B, C_out, D_out, H_out, W_out)
         st = None
         if want_stats:
             count = (C_out // groups) * D_out * H_out * W_out

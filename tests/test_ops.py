@@ -3,6 +3,7 @@
 torch here is the oracle only (the shipped framework has no torch dependency).
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -151,3 +152,39 @@ class TestFFT:
         want = (torch.sqrt(dd ** 2 + hh ** 2 + ww ** 2) > radius).float().numpy()
         got = _np(ops.high_freq_mask((D, H, W)))
         np.testing.assert_array_equal(got, want)
+
+
+class TestGeluFast:
+    """ops/activations.py: polynomial-erf GELU fast path for half precision.
+
+    Parity contract: torch nn.GELU() is the erf form (vit_components.py:93);
+    the poly path must match it to within one bf16 ulp (it only ever runs on
+    bf16/fp16 tensors — fp32 keeps XLA's exact rational erf bit-for-bit)."""
+
+    def test_fp32_is_exact_gelu(self, rng):
+        from hybrid_vit_cascade_tpu.ops.activations import gelu_erf
+
+        x = jnp.asarray(rng.standard_normal(4096).astype(np.float32)) * 3
+        np.testing.assert_array_equal(
+            _np(gelu_erf(x)), _np(jax.nn.gelu(x, approximate=False)))
+
+    def test_bf16_within_one_ulp_of_torch(self):
+        from hybrid_vit_cascade_tpu.ops.activations import gelu_erf
+
+        # oracle on the SAME bf16-quantized inputs (input rounding dominates
+        # the poly's 1.5e-7 erf error otherwise)
+        xq = jnp.asarray(np.linspace(-8, 8, 4097, dtype=np.float32)).astype(jnp.bfloat16)
+        xs = _np(xq).astype(np.float32)
+        want = torch.nn.functional.gelu(torch.from_numpy(xs)).numpy()
+        got = _np(gelu_erf(xq)).astype(np.float32)
+        want_bf16 = _np(jnp.asarray(want).astype(jnp.bfloat16)).astype(np.float32)
+        ulp = np.maximum(np.abs(want_bf16) * 2.0 ** -8, 2.0 ** -14)
+        assert np.all(np.abs(got - want_bf16) <= ulp + 5e-7)
+
+    def test_bf16_grad_matches_exact(self, rng):
+        from hybrid_vit_cascade_tpu.ops.activations import gelu_erf
+
+        x = jnp.asarray(rng.standard_normal(2048).astype(np.float32) * 2)
+        g_poly = jax.grad(lambda v: gelu_erf(v.astype(jnp.bfloat16)).astype(jnp.float32).sum())(x)
+        g_ref = jax.grad(lambda v: jax.nn.gelu(v, approximate=False).sum())(x)
+        np.testing.assert_allclose(_np(g_poly), _np(g_ref), atol=8e-3)
