@@ -15,9 +15,47 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
 # Token-count threshold above which the Pallas kernel is preferred on TPU.
 _FLASH_MIN_TOKENS = 2048
+
+
+def _head_sharded_flash(q, k, v, scale, mesh):
+    """Tensor-parallel flash attention: shard the HEAD axis over the mesh's
+    'model' axis and run the Pallas kernel per-device under shard_map.
+
+    Attention is independent per (batch, head), so head sharding needs NO
+    collectives inside the map — each device streams K/V blocks for its own
+    heads entirely in VMEM. This is the multi-chip replacement for the
+    reference's single-GPU materialized score map (vit_components.py:46-51):
+    without it, a model-axis mesh had to fall back to XLA attention, whose
+    (B, H, Nq, Nk) score tensor is 4.3 GB per (batch, head) at the stage-3
+    token count — un-shardable into HBM once Pallas is off the table.
+
+    The batch axis rides the 'data' axis (DP), so the kernel sees
+    (B/dp, H/mp, N, d) locally. Differentiation flows through the kernel's
+    custom VJP per shard (no cross-shard terms exist).
+    """
+    from .pallas.flash_attention import flash_attention
+
+    spec = P("data", "model", None, None)
+
+    def local(qs, ks, vs):
+        return flash_attention(qs, ks, vs, scale=scale)
+
+    return jax.shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
+                         out_specs=spec, check_vma=False)(q, k, v)
+
+
+def _head_shardable(q, mesh) -> bool:
+    """True when (B, H) divide the (data, model) mesh axes evenly."""
+    if mesh is None:
+        return False
+    shape = dict(mesh.shape)
+    dp, mp = shape.get("data", 1), shape.get("model", 1)
+    B, H = q.shape[0], q.shape[1]
+    return mp > 1 and H % mp == 0 and B % dp == 0
 
 
 def _reference_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
@@ -37,10 +75,14 @@ def dot_product_attention(
     impl: str = "auto",
     return_probs: bool = False,
 ):
-    """Softmax attention. impl: 'auto' | 'flash' | 'xla'.
+    """Softmax attention. impl: 'auto' | 'flash' | 'flash_sharded' | 'xla'.
 
     'auto' uses the Pallas flash kernel on TPU backends once the score matrix
-    is big enough to be memory-bound, otherwise plain XLA.
+    is big enough to be memory-bound, otherwise plain XLA. Under an ambient
+    mesh with model>1 the kernel runs HEAD-SHARDED via shard_map
+    (tensor parallelism — see _head_sharded_flash); when (B, H) don't divide
+    the mesh, 'auto' falls back to XLA so GSPMD can sequence-shard instead.
+    'flash_sharded' forces the head-sharded path (tests).
 
     return_probs=True additionally returns the fp32 attention probabilities
     (B, H, Nq, Nk) — the reference's `store_attention` diagnostic capture
@@ -50,21 +92,31 @@ def dot_product_attention(
     if scale is None:
         scale = q.shape[-1] ** -0.5
 
+    from ..parallel import ambient_mesh, model_axis_size
+
     use_flash = False
+    if impl == "flash_sharded":
+        mesh = ambient_mesh()
+        assert _head_shardable(q, mesh), (
+            f"flash_sharded needs an ambient (data, model) mesh dividing "
+            f"(B={q.shape[0]}, H={q.shape[1]}); mesh={mesh}")
+        return _head_sharded_flash(q, k, v, scale, mesh)
     if impl == "flash":
         use_flash = True
     elif impl == "auto":
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
         use_flash = on_tpu and (q.shape[-2] * k.shape[-2] >= _FLASH_MIN_TOKENS ** 2)
-        if use_flash:
-            # pallas_call is opaque to the XLA partitioner: with an ambient
-            # model axis (sequence-sharded tokens) route through XLA so GSPMD
-            # can partition the matmuls and insert the K/V all-gather.
-            from ..parallel import model_axis_size
-
-            use_flash = model_axis_size() <= 1
 
     if use_flash and not return_probs:
+        if model_axis_size() > 1:
+            mesh = ambient_mesh()
+            if _head_shardable(q, mesh):
+                return _head_sharded_flash(q, k, v, scale, mesh)
+            if impl == "auto":
+                # pallas_call is opaque to the XLA partitioner: with a model
+                # axis the kernel can't be split by GSPMD, so route through
+                # XLA (sequence-sharded tokens, K/V all-gather inserted).
+                return _reference_attention(q, k, v, scale)
         from .pallas.flash_attention import flash_attention
 
         return flash_attention(q, k, v, scale=scale)
