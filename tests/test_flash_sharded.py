@@ -95,3 +95,32 @@ class TestHeadShardedFlash:
         q, k, v = _qkv(rng)
         with pytest.raises(AssertionError):
             dot_product_attention(q, k, v, impl="flash_sharded")
+
+    def test_mhsa_module_grads_match_xla(self, rng):
+        """The flax MHSA module (QKV projection → attention → out projection)
+        trained with head-sharded flash must produce the same loss and
+        parameter grads as the XLA impl — the full tensor-parallel layer as
+        the real models run it."""
+        from hybrid_vit_cascade_tpu.models.attention import MultiHeadSelfAttention
+
+        x = jnp.asarray(rng.standard_normal((4, 64, 32)), jnp.float32)
+        mesh = make_mesh(data=2, model=4)
+
+        def run(impl, in_mesh):
+            import contextlib
+
+            m = MultiHeadSelfAttention(embed_dim=32, num_heads=4, dropout=0.0,
+                                       attn_impl=impl)
+
+            def loss(params):
+                return (m.apply({"params": params}, x) ** 2).mean()
+
+            with (mesh if in_mesh else contextlib.nullcontext()):
+                variables = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+                return jax.jit(jax.value_and_grad(loss))(variables["params"])
+
+        loss_ref, g_ref = run("xla", in_mesh=False)
+        loss_sh, g_sh = run("flash_sharded", in_mesh=True)
+        np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=1e-5)
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5), g_sh, g_ref)
