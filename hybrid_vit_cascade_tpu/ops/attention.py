@@ -58,6 +58,40 @@ def _head_shardable(q, mesh) -> bool:
     return mp > 1 and H % mp == 0 and B % dp == 0
 
 
+def _seq_sharded_flash(q, k, v, scale, mesh):
+    """Sequence-parallel flash attention: shard the QUERY-token axis over the
+    'model' axis, replicate K/V, and run the Pallas kernel per-device under
+    shard_map. Each q row's softmax spans the full K/V, so shards are
+    independent — no collectives inside the map; the K/V all-gather (forward)
+    and dk/dv psum (backward transpose of the replicated in_spec) are
+    inserted by shard_map itself.
+
+    Used when the head count doesn't divide the model axis (mp > H or odd H),
+    where head sharding can't apply; memory per device is O(Nq/mp · d) for
+    the streamed scores — the XLA fallback would materialize
+    (B, H, Nq/mp, Nk) score tensors instead."""
+    from .pallas.flash_attention import flash_attention
+
+    qspec = P("data", None, "model", None)
+    kvspec = P("data", None, None, None)
+
+    def local(qs, ks, vs):
+        return flash_attention(qs, ks, vs, scale=scale)
+
+    return jax.shard_map(local, mesh=mesh, in_specs=(qspec, kvspec, kvspec),
+                         out_specs=qspec, check_vma=False)(q, k, v)
+
+
+def _seq_shardable(q, mesh) -> bool:
+    """True when (B, Nq) divide the (data, model) mesh axes evenly."""
+    if mesh is None:
+        return False
+    shape = dict(mesh.shape)
+    dp, mp = shape.get("data", 1), shape.get("model", 1)
+    B, Nq = q.shape[0], q.shape[2]
+    return mp > 1 and Nq % mp == 0 and B % dp == 0
+
+
 def _reference_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
                          return_probs: bool = False):
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
@@ -79,10 +113,11 @@ def dot_product_attention(
 
     'auto' uses the Pallas flash kernel on TPU backends once the score matrix
     is big enough to be memory-bound, otherwise plain XLA. Under an ambient
-    mesh with model>1 the kernel runs HEAD-SHARDED via shard_map
-    (tensor parallelism — see _head_sharded_flash); when (B, H) don't divide
-    the mesh, 'auto' falls back to XLA so GSPMD can sequence-shard instead.
-    'flash_sharded' forces the head-sharded path (tests).
+    mesh with model>1 the kernel runs HEAD-SHARDED via shard_map (tensor
+    parallelism — see _head_sharded_flash), or QUERY-SEQUENCE-SHARDED when
+    the head count doesn't divide the mesh (_seq_sharded_flash); only if
+    neither divides does 'auto' fall back to XLA. 'flash_sharded' forces the
+    sharded paths (tests).
 
     return_probs=True additionally returns the fp32 attention probabilities
     (B, H, Nq, Nk) — the reference's `store_attention` diagnostic capture
@@ -97,10 +132,13 @@ def dot_product_attention(
     use_flash = False
     if impl == "flash_sharded":
         mesh = ambient_mesh()
-        assert _head_shardable(q, mesh), (
+        if _head_shardable(q, mesh):
+            return _head_sharded_flash(q, k, v, scale, mesh)
+        assert _seq_shardable(q, mesh), (
             f"flash_sharded needs an ambient (data, model) mesh dividing "
-            f"(B={q.shape[0]}, H={q.shape[1]}); mesh={mesh}")
-        return _head_sharded_flash(q, k, v, scale, mesh)
+            f"(B={q.shape[0]}, H={q.shape[1]}) or (B, Nq={q.shape[2]}); "
+            f"mesh={mesh}")
+        return _seq_sharded_flash(q, k, v, scale, mesh)
     if impl == "flash":
         use_flash = True
     elif impl == "auto":
@@ -112,6 +150,8 @@ def dot_product_attention(
             mesh = ambient_mesh()
             if _head_shardable(q, mesh):
                 return _head_sharded_flash(q, k, v, scale, mesh)
+            if _seq_shardable(q, mesh):
+                return _seq_sharded_flash(q, k, v, scale, mesh)
             if impl == "auto":
                 # pallas_call is opaque to the XLA partitioner: with a model
                 # axis the kernel can't be split by GSPMD, so route through

@@ -91,6 +91,35 @@ class TestHeadShardedFlash:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-5)
 
+    def test_seq_sharded_forward_and_grads(self, rng):
+        """H=3 doesn't divide model=2 → the query-sequence-sharded path
+        (k/v replicated into the map; dk/dv psum on the backward transpose)."""
+        from hybrid_vit_cascade_tpu.ops.attention import _seq_shardable
+
+        q, k, v = _qkv(rng, b=4, h=3, nq=64, nk=80)
+        scale = 32 ** -0.5
+        mesh = make_mesh(data=4, model=2)
+        assert _seq_shardable(q, mesh)
+
+        def loss_ref(q, k, v):
+            return (_reference_attention(q, k, v, scale) ** 2).sum()
+
+        def loss_sh(q, k, v):
+            out = dot_product_attention(q, k, v, scale, impl="flash_sharded")
+            return (out ** 2).sum()
+
+        want = _reference_attention(q, k, v, scale)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        with mesh:
+            got = jax.jit(lambda a, b, c: dot_product_attention(
+                a, b, c, scale, impl="flash_sharded"))(q, k, v)
+            g_sh = jax.jit(jax.grad(loss_sh, argnums=(0, 1, 2)))(q, k, v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+        for a, b, name in zip(g_sh, g_ref, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=5e-4, err_msg=f"d{name}")
+
     def test_flash_sharded_requires_mesh(self, rng):
         q, k, v = _qkv(rng)
         with pytest.raises(AssertionError):
