@@ -182,6 +182,23 @@ def cmd_bench(args):
     _bench_mod.main()
 
 
+def cmd_dryrun(args):
+    """Multi-chip rehearsal without the chips: virtual n-device CPU mesh,
+    full sharded train steps + tensor-parallel attention check (the fake
+    distributed backend the reference's mp.spawn/NCCL stack can't offer)."""
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "__graft_entry__.py")
+    if not os.path.exists(path):
+        raise SystemExit("dryrun needs the repo checkout (__graft_entry__.py not found)")
+    spec = importlib.util.spec_from_file_location("_dryrun_entry", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(args.devices)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="hybrid_vit_cascade_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -254,6 +271,10 @@ def main(argv=None):
 
     b = sub.add_parser("bench", help="run the throughput benchmark")
     b.set_defaults(fn=cmd_bench)
+
+    dr = sub.add_parser("dryrun", help="multi-chip sharding rehearsal on a virtual CPU mesh")
+    dr.add_argument("--devices", type=int, default=8)
+    dr.set_defaults(fn=cmd_dryrun)
 
     args = p.parse_args(argv)
     args.fn(args)
