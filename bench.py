@@ -12,18 +12,48 @@ that as the denominator until a better baseline exists — i.e. vs_baseline is
 north-star metrics (BASELINE.md) on the same chip: steps/sec for a batch-2
 128³ stage-2 step and a batch-1 256³ stage-3 step (full MultiScaleLoss,
 donated buffers, slab-streamed stage-3 conv branches).
+
+Resilience (round-3 hardening — the round-2 driver capture died on a single
+transient `FAILED_PRECONDITION: TPU backend error` with no retry):
+  * every phase (preflight probe, inference, train2, train3) runs in its OWN
+    subprocess with a hard timeout, so a wedged backend can't hang the bench;
+  * each phase is retried with backoff on failure (the axon tunnel is known
+    to wedge transiently: cold `jax.devices()` can exceed 2 min, backend init
+    intermittently fails);
+  * the XLA compile cache is keyed per backend (/root/jaxcache/<backend>) so
+    CPU dryrun artifacts can never poison the TPU cache (round-2
+    MULTICHIP log showed cpu_aot_loader machine-mismatch warnings from a
+    shared cache);
+  * on persistent failure the script still prints ONE parseable JSON line
+    with the error recorded instead of a traceback, and exits 0.
 """
 
 import json
 import os
+import subprocess
+import sys
 import time
 
-# Persistent XLA compile cache: the stage-3 256³ programs take ~9-10 min to
-# compile cold; with the cache a bench re-run (or the driver's round-end run
-# after this repo already compiled them) starts in seconds.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/jaxcache")
-
 REFERENCE_SAMPLES_PER_SEC = 80.0 / (17.5 * 60.0)  # ≈ 0.076 (B200, training)
+
+# Per-phase wall-clock limits (seconds). Cold numbers on axon: backend init
+# >2 min, stage-3 256³ compile ~525-600 s, donated-step second compile ~100 s.
+PHASE_TIMEOUT = {"probe": 480, "inference": 1800, "train2": 1800, "train3": 3300}
+PHASE_ATTEMPTS = {"probe": 3, "inference": 2, "train2": 2, "train3": 2}
+RETRY_BACKOFF_S = 30
+
+
+def _setup_backend_keyed_cache():
+    """Initialize jax and point the persistent compile cache at a per-backend
+    directory. Called inside worker subprocesses only (the orchestrator never
+    imports jax)."""
+    import jax
+
+    backend = jax.default_backend()  # forces backend init
+    cache_dir = os.path.join("/root/jaxcache", backend)
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    return jax
 
 
 def _sync(x):
@@ -34,11 +64,33 @@ def _sync(x):
     return float(jnp.asarray(x).astype(jnp.float32).mean())
 
 
-def bench_inference(n_iters: int = 5, batch: int = 2) -> float:
+# ---------------------------------------------------------------------------
+# Worker phases (each runs in its own subprocess; prints ONE json line)
+# ---------------------------------------------------------------------------
+
+def phase_probe() -> dict:
+    """Pre-flight: backend init + trivial matmul + readback."""
+    t0 = time.perf_counter()
+    jax = _setup_backend_keyed_cache()
+    import jax.numpy as jnp
+
+    t1 = time.perf_counter()
+    x = jnp.ones((256, 256), jnp.bfloat16)
+    val = _sync((x @ x).astype(jnp.float32))
+    return {
+        "backend": jax.default_backend(),
+        "devices": [str(d) for d in jax.devices()],
+        "init_s": round(t1 - t0, 1),
+        "matmul_s": round(time.perf_counter() - t1, 1),
+        "ok": abs(val - 256.0) < 1.0,
+    }
+
+
+def phase_inference(n_iters: int = 5, batch: int = 2) -> dict:
     """Serving throughput at the throughput-optimal batch (sweep on v5e,
     wave 9: b1 2.58 vol/s, b2 2.71, b4 exceeds the chip — batch 2 amortizes
     dispatch + kernel grid overheads)."""
-    import jax
+    jax = _setup_backend_keyed_cache()
     import jax.numpy as jnp
 
     from hybrid_vit_cascade_tpu.models import ProgressiveCascadeModel
@@ -55,13 +107,13 @@ def bench_inference(n_iters: int = 5, batch: int = 2) -> float:
     for _ in range(n_iters):
         _sync(fn(variables, xrays))
     dt = (time.perf_counter() - t0) / n_iters
-    return xrays.shape[0] / dt
+    return {"volumes_per_sec": xrays.shape[0] / dt, "batch": batch}
 
 
-def bench_train_stage(stage: int, batch: int, n_iters: int = 3) -> float:
+def phase_train(stage: int, batch: int, n_iters: int = 3) -> dict:
     """Steps/sec for one cascade training stage (full loss, frozen-mask
     optimizer, donated buffers — the real train step, not a fwd/bwd toy)."""
-    import jax
+    jax = _setup_backend_keyed_cache()
     import jax.numpy as jnp
 
     from hybrid_vit_cascade_tpu.losses import MultiScaleLoss
@@ -113,7 +165,45 @@ def bench_train_stage(stage: int, batch: int, n_iters: int = 3) -> float:
         state, m = step(state, batch_data, rng)
         _sync(m["total_loss"])
     dt = (time.perf_counter() - t0) / n_iters
-    return 1.0 / dt
+    return {"steps_per_sec": 1.0 / dt}
+
+
+# ---------------------------------------------------------------------------
+# Orchestrator (no jax import — a wedged backend can never hang this process)
+# ---------------------------------------------------------------------------
+
+def _run_phase(phase: str) -> dict:
+    """Run one phase in a subprocess with timeout + retry. Returns the phase's
+    JSON dict, or {"error": ...} after all attempts fail."""
+    attempts = PHASE_ATTEMPTS.get(phase, 2)
+    timeout = PHASE_TIMEOUT.get(phase, 1800)
+    last_err = "unknown"
+    for attempt in range(attempts):
+        if attempt:
+            time.sleep(RETRY_BACKOFF_S)
+        try:
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--phase", phase],
+                capture_output=True, text=True, timeout=timeout,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+        except subprocess.TimeoutExpired:
+            last_err = f"timeout after {timeout}s (attempt {attempt + 1}/{attempts})"
+            continue
+        if res.returncode == 0:
+            # the phase's json line is the LAST stdout line (jax may log above)
+            for line in reversed(res.stdout.strip().splitlines()):
+                line = line.strip()
+                if line.startswith("{"):
+                    try:
+                        return json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+            last_err = f"no json in phase output (attempt {attempt + 1})"
+        else:
+            tail = (res.stderr or res.stdout or "").strip().splitlines()[-6:]
+            last_err = f"rc={res.returncode}: " + " | ".join(tail)[-500:]
+    return {"error": last_err}
 
 
 def main():
@@ -122,17 +212,44 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-train", action="store_true",
                     help="inference metric only (fast driver runs)")
+    ap.add_argument("--phase", choices=["probe", "inference", "train2", "train3"],
+                    help="internal: run one benchmark phase in-process")
     args = ap.parse_args()
 
-    vols_per_sec = bench_inference()
+    if args.phase:  # worker mode
+        out = {
+            "probe": phase_probe,
+            "inference": phase_inference,
+            "train2": lambda: phase_train(2, 2),
+            "train3": lambda: phase_train(3, 1),
+        }[args.phase]()
+        print(json.dumps(out))
+        return
+
     extra = {}
+    probe = _run_phase("probe")
+    extra["probe"] = probe
+    if "error" in probe or not probe.get("ok", False):
+        # Backend is down after retries: emit a parseable diagnostic line.
+        print(json.dumps({
+            "metric": "cascade256_inference_volumes_per_sec_per_chip",
+            "value": None, "unit": "vol/s/chip", "vs_baseline": None,
+            "extra": {"error": "preflight probe failed — TPU backend unavailable",
+                      "probe": probe},
+        }))
+        return
+
+    inf = _run_phase("inference")
+    vols_per_sec = inf.get("volumes_per_sec")
+    if vols_per_sec is None:
+        extra["inference_error"] = inf.get("error", "unknown")
+
     if not args.skip_train:
-        for stage, batch, key in [(2, 2, "train_stage2_128_b2_steps_per_sec"),
-                                  (3, 1, "train_stage3_256_b1_steps_per_sec")]:
-            try:
-                extra[key] = round(bench_train_stage(stage, batch), 4)
-            except Exception as e:  # keep the headline metric robust
-                extra[key] = f"error: {type(e).__name__}"
+        for phase, key in [("train2", "train_stage2_128_b2_steps_per_sec"),
+                           ("train3", "train_stage3_256_b1_steps_per_sec")]:
+            r = _run_phase(phase)
+            extra[key] = (round(r["steps_per_sec"], 4) if "steps_per_sec" in r
+                          else f"error: {r.get('error', 'unknown')}")
         # Apples-to-apples ratio: OUR 256³ stage-3 training throughput over
         # the reference's only recorded 256³ training throughput (B200).
         # The headline vs_baseline above mixes inference/training (documented
@@ -144,9 +261,9 @@ def main():
 
     print(json.dumps({
         "metric": "cascade256_inference_volumes_per_sec_per_chip",
-        "value": round(vols_per_sec, 4),
+        "value": round(vols_per_sec, 4) if vols_per_sec else None,
         "unit": "vol/s/chip",
-        "vs_baseline": round(vols_per_sec / REFERENCE_SAMPLES_PER_SEC, 2),
+        "vs_baseline": round(vols_per_sec / REFERENCE_SAMPLES_PER_SEC, 2) if vols_per_sec else None,
         "extra": extra,
     }))
 

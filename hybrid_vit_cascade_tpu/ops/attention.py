@@ -20,6 +20,26 @@ from jax.sharding import PartitionSpec as P
 # Token-count threshold above which the Pallas kernel is preferred on TPU.
 _FLASH_MIN_TOKENS = 2048
 
+# Trace-time dispatch record: which path each dot_product_attention call took
+# ('flash' | 'head' | 'seq' | 'xla'). Appended during TRACING only (jit caches
+# mean steady-state calls don't re-record) — used by the multi-chip dryrun and
+# tests to pin the production graph's attention paths.
+_dispatch_log: list = []
+
+
+def _log_dispatch(path: str, q) -> None:
+    _dispatch_log.append(
+        {"path": path, "B": int(q.shape[0]), "H": int(q.shape[1]),
+         "Nq": int(q.shape[2])})
+
+
+def dispatch_log(clear: bool = False) -> list:
+    """Snapshot (and optionally reset) the trace-time dispatch record."""
+    out = list(_dispatch_log)
+    if clear:
+        _dispatch_log.clear()
+    return out
+
 
 def _head_sharded_flash(q, k, v, scale, mesh):
     """Tensor-parallel flash attention: shard the HEAD axis over the mesh's
@@ -92,6 +112,22 @@ def _seq_shardable(q, mesh) -> bool:
     return mp > 1 and Nq % mp == 0 and B % dp == 0
 
 
+def _sharded_dispatch(q, mesh) -> str | None:
+    """Which flash sharding applies under a model>1 mesh: 'head' (tensor
+    parallelism — preferred, zero collectives inside the map) | 'seq'
+    (query-sequence parallelism — K/V all-gathered by shard_map) | None
+    (neither axis divides; callers must fall back to XLA attention, which
+    GSPMD *can* partition, because pallas_call is opaque to the partitioner).
+
+    Pure trace-time shape logic, unit-tested off-TPU (tests/test_flash_sharded)
+    since the on-TPU 'auto' route through it can't run on the CPU harness."""
+    if _head_shardable(q, mesh):
+        return "head"
+    if _seq_shardable(q, mesh):
+        return "seq"
+    return None
+
+
 def _reference_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
                          return_probs: bool = False):
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
@@ -131,14 +167,21 @@ def dot_product_attention(
 
     use_flash = False
     if impl == "flash_sharded":
+        if return_probs:
+            raise ValueError(
+                "return_probs=True is incompatible with impl='flash_sharded': "
+                "a streamed sharded kernel never materializes the (Nq, Nk) "
+                "probability map. Use impl='xla' (small token counts only).")
         mesh = ambient_mesh()
-        if _head_shardable(q, mesh):
-            return _head_sharded_flash(q, k, v, scale, mesh)
-        assert _seq_shardable(q, mesh), (
-            f"flash_sharded needs an ambient (data, model) mesh dividing "
-            f"(B={q.shape[0]}, H={q.shape[1]}) or (B, Nq={q.shape[2]}); "
-            f"mesh={mesh}")
-        return _seq_sharded_flash(q, k, v, scale, mesh)
+        path = _sharded_dispatch(q, mesh)
+        if path is None:
+            raise ValueError(
+                f"flash_sharded needs an ambient (data, model) mesh dividing "
+                f"(B={q.shape[0]}, H={q.shape[1]}) or (B, Nq={q.shape[2]}); "
+                f"mesh={mesh}")
+        fn = _head_sharded_flash if path == "head" else _seq_sharded_flash
+        _log_dispatch(path, q)
+        return fn(q, k, v, scale, mesh)
     if impl == "flash":
         use_flash = True
     elif impl == "auto":
@@ -148,16 +191,23 @@ def dot_product_attention(
     if use_flash and not return_probs:
         if model_axis_size() > 1:
             mesh = ambient_mesh()
-            if _head_shardable(q, mesh):
+            path = _sharded_dispatch(q, mesh)
+            if path == "head":
+                _log_dispatch("head", q)
                 return _head_sharded_flash(q, k, v, scale, mesh)
-            if _seq_shardable(q, mesh):
+            if path == "seq":
+                _log_dispatch("seq", q)
                 return _seq_sharded_flash(q, k, v, scale, mesh)
-            if impl == "auto":
-                # pallas_call is opaque to the XLA partitioner: with a model
-                # axis the kernel can't be split by GSPMD, so route through
-                # XLA (sequence-sharded tokens, K/V all-gather inserted).
-                return _reference_attention(q, k, v, scale)
+            # pallas_call is opaque to the XLA partitioner: with a model
+            # axis the kernel can't be split by GSPMD, so route through
+            # XLA (sequence-sharded tokens, K/V all-gather inserted).
+            # Applies to forced impl='flash' too — an unsharded pallas_call
+            # under a model-axis mesh would be silently un-partitionable.
+            _log_dispatch("xla", q)
+            return _reference_attention(q, k, v, scale)
         from .pallas.flash_attention import flash_attention
 
+        _log_dispatch("flash", q)
         return flash_attention(q, k, v, scale=scale)
+    _log_dispatch("xla", q)
     return _reference_attention(q, k, v, scale, return_probs=return_probs)

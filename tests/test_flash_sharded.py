@@ -122,8 +122,45 @@ class TestHeadShardedFlash:
 
     def test_flash_sharded_requires_mesh(self, rng):
         q, k, v = _qkv(rng)
-        with pytest.raises(AssertionError):
+        with pytest.raises(ValueError, match="flash_sharded needs"):
             dot_product_attention(q, k, v, impl="flash_sharded")
+
+    def test_flash_sharded_rejects_return_probs(self, rng):
+        """A streamed sharded kernel can never materialize the probability
+        map; combining the two must be a loud error, not a silently wrong
+        return type (round-2 ADVICE)."""
+        q, k, v = _qkv(rng)
+        mesh = make_mesh(data=4, model=2)
+        with mesh, pytest.raises(ValueError, match="return_probs"):
+            dot_product_attention(q, k, v, impl="flash_sharded",
+                                  return_probs=True)
+
+    def test_sharded_dispatch_selection(self, rng):
+        """The trace-time head→seq→None selection the on-TPU 'auto' route
+        uses (unreachable on the CPU harness through 'auto' itself)."""
+        from hybrid_vit_cascade_tpu.ops.attention import _sharded_dispatch
+
+        mesh = make_mesh(data=4, model=2)
+        q_head, _, _ = _qkv(rng, b=4, h=4, nq=64)      # H % mp == 0
+        q_seq, _, _ = _qkv(rng, b=4, h=3, nq=64)       # only Nq % mp == 0
+        q_none, _, _ = _qkv(rng, b=4, h=3, nq=63)      # neither divides
+        assert _sharded_dispatch(q_head, mesh) == "head"
+        assert _sharded_dispatch(q_seq, mesh) == "seq"
+        assert _sharded_dispatch(q_none, mesh) is None
+        assert _sharded_dispatch(q_head, None) is None
+
+    def test_forced_flash_falls_back_to_xla_when_unshardable(self, rng):
+        """impl='flash' under a model>1 mesh with neither H nor Nq divisible
+        must route to XLA attention (an unsharded pallas_call is opaque to
+        GSPMD), exercising the model>1 dispatch block off-TPU."""
+        q, k, v = _qkv(rng, b=4, h=3, nq=63, nk=64)
+        mesh = make_mesh(data=4, model=2)
+        want = _reference_attention(q, k, v, 32 ** -0.5)
+        with mesh:
+            got = jax.jit(lambda a, b, c: dot_product_attention(
+                a, b, c, impl="flash"))(q, k, v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
 
     def test_mhsa_module_grads_match_xla(self, rng):
         """The flax MHSA module (QKV projection → attention → out projection)
