@@ -52,6 +52,10 @@ def cmd_train(args):
         cfg.training.profile_dir = args.profile_dir
     if getattr(args, "debug_nans", False):
         cfg.training.debug_nans = True
+    if getattr(args, "vgg_weights", None):
+        cfg.loss.vgg_weights = args.vgg_weights
+    if getattr(args, "viz_every", None):
+        cfg.training.viz_every = args.viz_every
     trainer = Trainer(cfg)
     metrics = trainer.fit(lr_override=args.lr, resume=not args.no_resume)
     print(json.dumps({"final": metrics}))
@@ -214,6 +218,10 @@ def main(argv=None):
     t.add_argument("--no-resume", action="store_true")
     t.add_argument("--profile-dir", default=None, help="write a jax.profiler trace of the first epoch")
     t.add_argument("--debug-nans", action="store_true")
+    t.add_argument("--vgg-weights", default=None,
+                   help="converted ImageNet VGG16 .npz (scripts/convert_vgg16.py) for the perceptual loss")
+    t.add_argument("--viz-every", type=int, default=0,
+                   help="write epoch-end feature/attention/prediction figures every N epochs")
     t.set_defaults(fn=cmd_train)
 
     i = sub.add_parser("infer", help="reconstruct + export NIfTI/PNG")

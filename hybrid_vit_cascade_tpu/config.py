@@ -76,6 +76,9 @@ class TrainingConfig:
     profile_dir: str = ""          # non-empty: write a TensorBoard trace of epoch 0
     debug_nans: bool = False       # jax_debug_nans (reference: NaN-batch skipping)
     use_wandb: bool = False        # optional wandb metric logging (no-op if absent)
+    # epoch-end feature/attention/prediction visualization every N epochs
+    # (0 = off; reference visualize_epoch_features, utils/visualization.py:324-472)
+    viz_every: int = 0
     stages: Dict[str, StageConfig] = field(
         default_factory=lambda: {
             "stage1": StageConfig(50, 8, 1e-4, (64, 64, 64)),
@@ -95,6 +98,9 @@ class LossConfig:
     stage3: Dict[str, float] = field(
         default_factory=lambda: {"l1": 1.0, "ssim": 0.5, "vgg": 0.1, "tv": 0.03, "freq": 0.07, "drr": 0.3}
     )
+    # path to a converted ImageNet VGG16 .npz (scripts/convert_vgg16.py);
+    # None → fixed-seed random frozen filters (documented deviation)
+    vgg_weights: Optional[str] = None
 
 
 @dataclass

@@ -182,12 +182,20 @@ class MultiScaleLoss:
     """Per-stage loss dispatcher (loss_multiscale.py:296-491). Returns the
     reference's loss-dict keys per stage."""
 
-    def __init__(self, config: Optional[Dict] = None, perceptual: Optional[TriPlanarPerceptualLoss] = None):
+    def __init__(self, config: Optional[Dict] = None,
+                 perceptual: Optional[TriPlanarPerceptualLoss] = None,
+                 vgg_weights: Optional[str] = None):
         cfg = dict(_DEFAULT_WEIGHTS)
         if config:
             for k, v in config.items():
                 cfg[k] = {**cfg.get(k, {}), **v}
         self.weights = cfg
+        if perceptual is None and vgg_weights:
+            # converted ImageNet VGG16 weights (scripts/convert_vgg16.py) —
+            # exact parity with the reference's pretrained perceptual loss
+            from .vgg_weights import load_vgg16_variables
+
+            perceptual = TriPlanarPerceptualLoss(variables=load_vgg16_variables(vgg_weights))
         self.perceptual = perceptual or TriPlanarPerceptualLoss()
 
     def __call__(

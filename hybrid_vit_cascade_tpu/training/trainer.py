@@ -336,7 +336,8 @@ class Trainer:
             state, start_epoch = self._restore_state(self.ckpt, state)
 
         if fam == "direct_vit":
-            loss_obj = MultiScaleLoss({"stage1": self.cfg.loss.stage1})
+            loss_obj = MultiScaleLoss({"stage1": self.cfg.loss.stage1},
+                                      vgg_weights=self.cfg.loss.vgg_weights)
             loss_fn = lambda pred, batch: loss_obj(pred, batch["ct_volume"], stage=1)
         else:
             d256 = Direct256Loss()
@@ -345,7 +346,7 @@ class Trainer:
         train_step = make_train_step(self.model, loss_fn)
         eval_step = make_eval_step(self.model, lambda b: b["ct_volume"])
         return self._run_epochs(state, train_step, eval_step, t.batch_size, start_epoch, epochs, lr,
-                                progress, mesh=mesh)
+                                progress, mesh=mesh, viz_kwargs={})
 
     def _restore_state(self, ckpt: CheckpointManager, state: TrainState) -> Tuple[TrainState, int]:
         """Restore params/batch_stats (+ optimizer state and step when the
@@ -450,7 +451,7 @@ class Trainer:
         variables = self.init_variables(max_stage=3)
         loss_obj = MultiScaleLoss({
             "stage1": self.cfg.loss.stage1, "stage2": self.cfg.loss.stage2, "stage3": self.cfg.loss.stage3,
-        })
+        }, vgg_weights=self.cfg.loss.vgg_weights)
         last: Dict[str, float] = {}
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
@@ -503,7 +504,7 @@ class Trainer:
             last = self._run_epochs(
                 state, train_step, eval_step, sc.batch_size, start_epoch, sc.num_epochs,
                 sc.learning_rate, progress, phase=stage_name, ckpt=self.ckpt_stage, mesh=stage_mesh,
-                target_resolution=resolution,
+                target_resolution=resolution, viz_kwargs=dict(mkw),
             )
             # carry learned params to the next stage (ref: filtered prev-stage load)
             params = self._last_state.params
@@ -513,7 +514,7 @@ class Trainer:
     # --- epoch loop -------------------------------------------------------
     def _run_epochs(self, state, train_step, eval_step, batch_size, start_epoch, epochs, lr,
                     progress, phase="train", ckpt=None, mesh=None,
-                    target_resolution=None) -> Dict[str, float]:
+                    target_resolution=None, viz_kwargs=None) -> Dict[str, float]:
         mesh = mesh if mesh is not None else self._mesh_for_batch(batch_size)
         ckpt = ckpt or self.ckpt
         d = self.cfg.data
@@ -579,6 +580,90 @@ class Trainer:
             if progress:
                 print(f"[{phase}] epoch {epoch}: loss={train_loss:.4f} "
                       f"val_psnr={metrics['psnr']:.2f} dB val_ssim={metrics['ssim']:.4f} ({dt:.1f}s)")
+            ve = self.cfg.training.viz_every
+            if ve and viz_kwargs is not None and ((epoch + 1) % ve == 0 or epoch == epochs - 1):
+                try:
+                    self._viz_epoch(state, epoch, phase, esh, viz_kwargs)
+                except Exception as exc:  # viz must never kill a training run
+                    print(f"[viz] epoch {epoch} visualization failed: {exc}")
         _mesh_ctx.close()
         self._last_state = state
         return metrics
+
+    # --- epoch-end visualization -----------------------------------------
+    def _viz_epoch(self, state, epoch: int, phase: str, esh, model_kwargs: Dict) -> None:
+        """Epoch-end feature/attention/prediction visualization on one val
+        sample (reference `visualize_epoch_features`,
+        utils/visualization.py:324-472): writes to
+        {save_dir}/viz/epoch_NNN/ —
+          * per-stage prediction vs ground-truth mid-slice grids,
+          * X-ray-encoder 2D feature-map channels (flax capture_intermediates
+            replaces the reference's extract_feature_maps forward hooks),
+          * stage-1 cross-attention salience (sown fp32 probability maps).
+        Figures are wandb-logged as images when wandb is active. The capture
+        forward is its own cached jit (compiled once per phase); viz runs on
+        a batch of 1, replicated over the mesh."""
+        from pathlib import Path
+
+        from ..models.attention import collect_attention_maps
+        from ..utils import viz as V
+        from ..utils import wandb_compat
+
+        out_dir = Path(self.cfg.checkpoints.save_dir) / "viz" / f"epoch_{epoch:03d}"
+        out_dir.mkdir(parents=True, exist_ok=True)
+        item = self.val_ds[0]
+        xrays = jax.device_put(np.asarray(item["drr_stacked"])[None], esh)
+        gt = np.asarray(item["ct_volume"], np.float32)
+
+        fns = getattr(self, "_viz_fns", None)
+        if fns is None:
+            fns = self._viz_fns = {}
+        key = (phase, tuple(sorted(model_kwargs.items())))
+        if key not in fns:
+            viz_model = self.model
+            if hasattr(viz_model, "store_attention"):
+                viz_model = viz_model.clone(store_attention=True)
+            mkw = dict(model_kwargs)
+            if isinstance(viz_model, ProgressiveCascadeModel):
+                mkw["return_intermediate"] = True  # all stage volumes
+
+            def _fwd(params, batch_stats, x):
+                variables = {"params": params}
+                if batch_stats:
+                    variables["batch_stats"] = batch_stats
+                return viz_model.apply(
+                    variables, x, train=False, mutable=["intermediates"],
+                    capture_intermediates=lambda mdl, _: "xray_encoder" in (mdl.name or ""),
+                    **mkw)
+
+            fns[key] = jax.jit(_fwd)
+        pred, inter = fns[key](state.params, state.batch_stats, xrays)
+
+        files: Dict[str, str] = {}
+        vols = pred if isinstance(pred, dict) else {phase: pred}
+        vols = {k: np.asarray(jax.device_get(v), np.float32) for k, v in vols.items()}
+        p = str(out_dir / f"{phase}_prediction_vs_gt.png")
+        V.compare_stage_outputs(vols, gt, p)
+        files[f"viz/{phase}/prediction_vs_gt"] = p
+
+        feats = [leaf for path, leaf in
+                 jax.tree_util.tree_flatten_with_path(inter.get("intermediates", {}))[0]
+                 if any("xray_encoder" in str(getattr(k, "key", "")) for k in path)
+                 and hasattr(leaf, "ndim") and leaf.ndim == 4]
+        if feats:
+            p = str(out_dir / f"{phase}_xray_features.png")
+            V.plot_feature_maps(np.asarray(jax.device_get(feats[-1]), np.float32), p,
+                                title=f"X-ray encoder features — {phase} epoch {epoch}")
+            files[f"viz/{phase}/xray_features"] = p
+
+        att = collect_attention_maps(inter.get("intermediates", {}))
+        if att:
+            p = str(out_dir / f"{phase}_attention_salience.png")
+            V.plot_attention_salience(np.asarray(jax.device_get(att["cross_attention"]), np.float32),
+                                      p, title=f"Cross-attention salience — {phase} epoch {epoch}")
+            files[f"viz/{phase}/attention_salience"] = p
+
+        self.jsonl.log({"epoch": epoch, "phase": phase, "viz_dir": str(out_dir),
+                        "viz_files": sorted(Path(f).name for f in files.values())})
+        if self.cfg.training.use_wandb:
+            wandb_compat.log_images(files, step=epoch)

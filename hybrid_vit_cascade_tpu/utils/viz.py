@@ -99,6 +99,36 @@ def compare_stage_outputs(stage_volumes: Dict[str, np.ndarray], target: Optional
     plt.close(fig)
 
 
+def plot_attention_salience(probs: np.ndarray, out_png: str, title: str = "") -> None:
+    """Cross-attention salience mid-slices: per-voxel-token attention mass
+    (mean over heads and X-ray context positions), reshaped to the token cube
+    (ref: the attention-map panels of visualize_epoch_features,
+    visualization.py:324-472 — there plotted per-head over 2D taps; here the
+    TPU capture is the sown fp32 (B, H, N, M) probability map)."""
+    p = np.asarray(probs, np.float32)
+    sal = p[0].mean(axis=(0, -1))  # (N,) attention mass per voxel token
+    s = round(len(sal) ** (1.0 / 3.0))
+    if s ** 3 != len(sal):  # non-cubic token grid: plot as a 1D profile
+        plt = _plt()
+        fig, ax = plt.subplots(figsize=(6, 2.5))
+        ax.plot(sal)
+        ax.set_title(title)
+        fig.savefig(out_png, dpi=100, bbox_inches="tight")
+        plt.close(fig)
+        return
+    cube = sal.reshape(s, s, s)
+    plt = _plt()
+    fig, axes = plt.subplots(1, 3, figsize=(9, 3))
+    for ax, sl, name in zip(axes, (cube[s // 2], cube[:, s // 2], cube[:, :, s // 2]),
+                            ("axial", "coronal", "sagittal")):
+        ax.imshow(sl, cmap="viridis")
+        ax.set_title(name, fontsize=9)
+        ax.axis("off")
+    fig.suptitle(title)
+    fig.savefig(out_png, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+
+
 def device_memory_report() -> Dict[str, float]:
     """Per-device memory stats in GB (ref: check_gpu_memory, utils.py:167-190)."""
     import jax

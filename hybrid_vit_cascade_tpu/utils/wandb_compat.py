@@ -31,6 +31,14 @@ def log(metrics: Dict, step: Optional[int] = None) -> None:
         wandb.log(metrics, step=step)
 
 
+def log_images(images: Dict[str, str], step: Optional[int] = None) -> None:
+    """Log saved figure files as wandb Images ({key: png_path}); silent no-op
+    when wandb is absent/inactive (reference: the wandb.Image branches of
+    visualize_epoch_features, utils/visualization.py:315-321)."""
+    if _active and WANDB_AVAILABLE:
+        wandb.log({k: wandb.Image(path) for k, path in images.items()}, step=step)
+
+
 def finish() -> None:
     global _active
     if _active and WANDB_AVAILABLE:

@@ -245,10 +245,18 @@ class TestCascadeTrainer:
         }
         cfg.checkpoints.save_dir = str(tmp_path / "ckpt")
         cfg.checkpoints.save_every = 0
+        cfg.training.viz_every = 1  # exercise the epoch-end visualization hook
         metrics = Trainer(cfg).fit()
         assert np.isfinite(metrics["loss"])
         for stage in ("stage1", "stage2", "stage3"):
             assert (tmp_path / "ckpt" / stage / "latest").exists(), stage
+        # epoch-end visualization (ref visualize_epoch_features): every stage
+        # wrote its prediction grid; stage-1 also captured attention salience
+        viz = tmp_path / "ckpt" / "viz" / "epoch_000"
+        for stage in ("stage1", "stage2", "stage3"):
+            assert (viz / f"{stage}_prediction_vs_gt.png").exists(), stage
+            assert (viz / f"{stage}_xray_features.png").exists(), stage
+        assert (viz / "stage1_attention_salience.png").exists()
 
 
 class TestCascadeResume:
@@ -346,6 +354,29 @@ class TestSharding:
 
         assert jax.device_count() >= 8
         g.dryrun_multichip(8)
+
+    def test_full_cascade_flash_path_engages_and_matches_xla(self):
+        """The PRODUCTION multi-chip attention graph: Pallas flash composed
+        inside the full 3-stage train step under a (data, model) mesh must
+        (a) actually take the head-sharded path — pinned via the trace-time
+        dispatch log — and (b) match the single-device exact-softmax step
+        (round-2 VERDICT item 4)."""
+        import sys, pathlib
+
+        sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+        import __graft_entry__ as g
+        from hybrid_vit_cascade_tpu.ops.attention import dispatch_log
+        from hybrid_vit_cascade_tpu.parallel import make_mesh
+
+        assert jax.device_count() >= 8
+        mesh = make_mesh(data=4, model=2, devices=jax.devices()[:8])
+        dispatch_log(clear=True)
+        loss_flash = g.run_full_cascade_step(mesh, global_batch=4, attn_impl="flash")
+        paths = {d["path"] for d in dispatch_log(clear=True)}
+        assert "head" in paths, paths
+        single = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+        loss_xla = g.run_full_cascade_step(single, global_batch=4, attn_impl="xla")
+        np.testing.assert_allclose(loss_flash, loss_xla, rtol=2e-3, atol=2e-4)
 
     def test_model_axis_matches_dp(self):
         """Sequence-sharding voxel tokens over the 'model' axis is a pure
