@@ -18,10 +18,18 @@ import numpy as np
 
 def shard_batch(batch: Dict[str, np.ndarray], sharding=None) -> Dict:
     """Device-put a host batch; with a NamedSharding, lay the batch axis out
-    over the mesh's data axis (the XLA equivalent of DistributedSampler)."""
+    over the mesh's data axis (the XLA equivalent of DistributedSampler).
+
+    Multi-host: each process holds only ITS loader shard (DataLoader slices
+    indices by process_index), so the global array is assembled from the
+    per-process pieces with make_array_from_process_local_data — a plain
+    device_put cannot address the other hosts' devices."""
     arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
     if sharding is None:
         return {**batch, **jax.device_put(arrays)}
+    if jax.process_count() > 1:
+        return {**batch, **{k: jax.make_array_from_process_local_data(sharding, v)
+                            for k, v in arrays.items()}}
     return {**batch, **{k: jax.device_put(v, sharding) for k, v in arrays.items()}}
 
 

@@ -51,17 +51,35 @@ class CheckpointManager:
     def _save_best_records(self):
         (self.save_dir / "best_records.json").write_text(json.dumps(self._best, indent=2))
 
+    def _barrier(self, tag: str):
+        """Cross-process sync point. Orbax's save is a COLLECTIVE (it runs
+        sync_global_devices barriers internally), so every process must call
+        it; the raw filesystem bookkeeping around it (tmp-dir dance, rename,
+        meta.json) stays process-0-only and must be fenced so no process
+        races the rename. Caught by scripts/rehearse_multihost.py — a
+        process-0-only early return desyncs the save_start barrier."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            self._seq = getattr(self, "_seq", 0) + 1
+            multihost_utils.sync_global_devices(f"ckpt_{tag}_{self._seq}")
+
     def _write(self, name: str, pytree, meta: Dict[str, Any]):
         path = (self.save_dir / name).absolute()
         tmp = path.with_suffix(".tmp")
-        if tmp.exists():
+        p0 = jax.process_index() == 0
+        if p0 and tmp.exists():
             shutil.rmtree(tmp)
+        self._barrier("pre")  # tmp cleared before any process's save starts
         self._ckptr.save(tmp, pytree)
         self._ckptr.wait_until_finished()
-        if path.exists():
-            shutil.rmtree(path)
-        tmp.rename(path)
-        (path / "meta.json").write_text(json.dumps(meta, indent=2, default=float))
+        self._barrier("post")  # all shards durable before the rename
+        if p0:
+            if path.exists():
+                shutil.rmtree(path)
+            tmp.rename(path)
+            (path / "meta.json").write_text(json.dumps(meta, indent=2, default=float))
+        self._barrier("renamed")  # 'latest' visible before anyone proceeds
 
     def save(self, pytree, epoch: int, metrics: Dict[str, float], config: Optional[dict] = None,
              opt: Optional[Any] = None) -> Dict[str, bool]:
@@ -73,9 +91,12 @@ class CheckpointManager:
         'latest_opt', kept out of the model tree so inference/transfer
         templates stay unchanged — the reference's checkpoint format keeps
         optimizer_state_dict alongside model_state_dict for resume
-        (resume_direct128.py:87-88,231-243)."""
-        if jax.process_index() != 0:
-            return {}
+        (resume_direct128.py:87-88,231-243).
+
+        Multi-process: ALL processes must call save (the Orbax write is a
+        collective); the best-tag decisions are deterministic and identical
+        on every process (metrics come from a psum'd eval), while the
+        filesystem bookkeeping is process-0-only inside _write."""
         meta = {"epoch": epoch, "metrics": metrics, "config": config or {}}
         self._write("latest", pytree, meta)
         if opt is not None:
@@ -92,7 +113,8 @@ class CheckpointManager:
                 self._best[tag] = val
                 self._write(f"best_{tag}", pytree, meta)
                 improved[tag] = True
-        self._save_best_records()
+        if jax.process_index() == 0:
+            self._save_best_records()
         return improved
 
     # --- restore ----------------------------------------------------------
