@@ -191,13 +191,31 @@ def host_target_transform(resolution: Tuple[int, int, int], cache: bool = False)
     tunneled single-chip setup. Runs in the loader's prefetch thread,
     overlapping device compute.
 
-    `cache=True` memoizes the per-patient resized target (the host resize of
-    a 256³ volume is ~0.6 s/sample in single-threaded numpy) — only valid
-    when targets are epoch-invariant, i.e. augmentation is off."""
+    `cache=True` memoizes the per-patient resized target — only valid
+    when targets are epoch-invariant, i.e. augmentation is off.
+
+    The resample runs in the native threaded C++ core when the .so is
+    available (native/nifti_io.cpp `resample_trilinear_f32`: ~9 ms for
+    256³→64³ vs ~0.6 s single-threaded numpy, fp32-identical to ~2e-7),
+    falling back to the numpy matrices otherwise."""
+    from ..data import native_io
     from ..ops.resize import resize_trilinear_np
 
     res = tuple(resolution)
     memo: Optional[Dict] = {} if cache else None
+
+    def resize_one(vol: np.ndarray) -> np.ndarray:
+        """(..., D, H, W) → (..., *res); leading dims flattened for the
+        native per-volume entry point."""
+        lead = vol.shape[:-3]
+        flat = vol.reshape((-1,) + vol.shape[-3:]).astype(np.float32, copy=False)
+        out = []
+        for v3 in flat:
+            r = native_io.resample_trilinear(v3, res, align_corners=False) \
+                if native_io.available() else None
+            out.append(r if r is not None
+                       else resize_trilinear_np(v3, res, align_corners=False))
+        return np.stack(out).reshape(lead + res)
 
     def tf(batch):
         v = batch.get("ct_volume")
@@ -209,11 +227,11 @@ def host_target_transform(resolution: Tuple[int, int, int], cache: bool = False)
             out = []
             for i, pid in enumerate(pids):
                 if pid not in memo:
-                    memo[pid] = resize_trilinear_np(v[i], res, align_corners=False)
+                    memo[pid] = resize_one(v[i])
                 out.append(memo[pid])
             batch["ct_volume"] = np.stack(out)
         else:
-            batch["ct_volume"] = resize_trilinear_np(v, res, align_corners=False)
+            batch["ct_volume"] = resize_one(v)
         return batch
 
     return tf

@@ -108,6 +108,25 @@ class TestLoader:
         dev = np.asarray(resize_trilinear(jnp.asarray(x), (6, 5, 4), align_corners=False))
         np.testing.assert_allclose(host, dev, rtol=1e-5, atol=1e-6)
 
+    def test_transform_native_resample_matches_numpy(self):
+        """host_target_transform routes through the threaded C++ resample
+        when the .so is available; its output must be fp32-identical (~1e-6)
+        to the numpy-matrix path on arbitrary (B, C, D, H, W) batches."""
+        from hybrid_vit_cascade_tpu.data import native_io
+        from hybrid_vit_cascade_tpu.ops.resize import resize_trilinear_np
+        from hybrid_vit_cascade_tpu.training.trainer import host_target_transform
+
+        if not native_io.available():
+            import pytest
+
+            pytest.skip("native .so not built")
+        rng = np.random.default_rng(1)
+        v = rng.standard_normal((3, 1, 16, 12, 10)).astype(np.float32)
+        got = host_target_transform((8, 6, 5))({"ct_volume": v})["ct_volume"]
+        want = resize_trilinear_np(v, (8, 6, 5), align_corners=False)
+        assert got.shape == (3, 1, 8, 6, 5)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
     def test_process_sharding_partitions(self):
         ds = data.SyntheticCTDataset(num_patients=8, volume_size=(8, 8, 8), xray_size=16)
         seen = []
