@@ -206,7 +206,9 @@ def _run_phase(phase: str) -> dict:
     return {"error": last_err}
 
 
-def main():
+def main(argv=None):
+    """argv=None parses sys.argv; the CLI (`hvc bench`) passes an explicit
+    list so its own subcommand tokens don't leak into this parser."""
     import argparse
 
     ap = argparse.ArgumentParser()
@@ -214,7 +216,7 @@ def main():
                     help="inference metric only (fast driver runs)")
     ap.add_argument("--phase", choices=["probe", "inference", "train2", "train3"],
                     help="internal: run one benchmark phase in-process")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     if args.phase:  # worker mode
         out = {

@@ -183,7 +183,7 @@ def cmd_inspect(args):
 def cmd_bench(args):
     import bench as _bench_mod  # repo-root bench.py
 
-    _bench_mod.main()
+    _bench_mod.main(["--skip-train"] if args.skip_train else [])
 
 
 def cmd_dryrun(args):
@@ -278,6 +278,8 @@ def main(argv=None):
     ex.set_defaults(fn=cmd_export)
 
     b = sub.add_parser("bench", help="run the throughput benchmark")
+    b.add_argument("--skip-train", action="store_true",
+                   help="inference metric only (skip the training phases)")
     b.set_defaults(fn=cmd_bench)
 
     dr = sub.add_parser("dryrun", help="multi-chip sharding rehearsal on a virtual CPU mesh")
