@@ -43,14 +43,29 @@ PHASE_ATTEMPTS = {"probe": 3, "inference": 2, "train2": 2, "train3": 2}
 RETRY_BACKOFF_S = 30
 
 
+def _machine_tag() -> str:
+    """Short host fingerprint: XLA:CPU AOT entries bake the compile host's
+    CPU features, and loading them on a different host warns of SIGILL
+    (seen in round-2 MULTICHIP logs). Key the cache per machine so entries
+    never cross hosts."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((l for l in f if l.startswith("flags")), "")
+    except OSError:
+        flags = ""
+    return hashlib.sha1(flags.encode()).hexdigest()[:8]
+
+
 def _setup_backend_keyed_cache():
-    """Initialize jax and point the persistent compile cache at a per-backend
-    directory. Called inside worker subprocesses only (the orchestrator never
-    imports jax)."""
+    """Initialize jax and point the persistent compile cache at a
+    per-backend, per-machine directory. Called inside worker subprocesses
+    only (the orchestrator never imports jax)."""
     import jax
 
     backend = jax.default_backend()  # forces backend init
-    cache_dir = os.path.join("/root/jaxcache", backend)
+    cache_dir = os.path.join("/root/jaxcache", f"{backend}-{_machine_tag()}")
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     return jax
