@@ -157,6 +157,11 @@ class Config:
                 v = src[f.name]
                 if dataclasses.is_dataclass(f.type) if isinstance(f.type, type) else False:
                     v = build(f.type, v)
+                elif isinstance(v, list) and isinstance(getattr(cls(), f.name, None), tuple):
+                    # JSON has no tuples: normalize list-valued sequence
+                    # fields to the dataclass default's tuple type so
+                    # from_dict(to_dict(cfg)) round-trips exactly
+                    v = tuple(v)
                 kwargs[f.name] = v
             return cls(**kwargs)
 
