@@ -89,7 +89,8 @@ def cmd_infer(args):
     item = ds[args.index]
     upscale = tuple(int(x) for x in args.upscale.split(",")) if args.upscale else None
     paths = engine.export(item["drr_stacked"][None], args.output, prefix=item["patient_id"],
-                          upscale=upscale, denormalize=args.denormalize)
+                          upscale=upscale, denormalize=args.denormalize,
+                          target=item["ct_volume"][None])
     metrics = engine.evaluate_sample(item)
     print(json.dumps({"exports": paths, "metrics": metrics}, indent=2))
 
@@ -105,7 +106,8 @@ def cmd_eval(args):
                                 volume_size=tuple(cfg.model.volume_size), xray_size=cfg.data.xray_size)
     else:
         ds = PatientDRRDataset(args.data_path or cfg.data.dataset_path, target_xray_size=cfg.data.xray_size)
-    _, _, test = create_train_val_datasets(ds, cfg.data.train_split, cfg.data.val_split)
+    _, _, test = create_train_val_datasets(ds, cfg.data.train_split, cfg.data.val_split,
+                                           split_mode=cfg.data.split_mode)
     if len(test) == 0:
         test = ds
     summary = engine.evaluate_dataset(test, out_json=args.output)

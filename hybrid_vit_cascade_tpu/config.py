@@ -67,6 +67,24 @@ class TrainingConfig:
     gradient_clip: float = 1.0
     seed: int = 0
     diffusion_sample_steps: int = 20  # DDIM eval steps for the diffusion family
+    # diffusion family: train the full progressive ladder with prev-stage
+    # chaining + cascaded DDIM eval (fit_diffusion_cascade) instead of the
+    # single top stage
+    diffusion_progressive: bool = False
+    # cascade: freeze the SHARED xray_encoder during stage-3 training. The
+    # reference trains it through stage 3 (train_progressive_1gpu.py:229-250
+    # freezes only stage modules), which silently degrades the frozen
+    # stage-2's intermediate output (its encoder shifts under it) and breaks
+    # max_stage=2 early-exit serving (model_progressive.py:368-402). With
+    # True, stage-2 serving stays at its trained quality (documented
+    # deviation; see docs/ROUND_NOTES.md round-4 experiment).
+    freeze_shared_encoder_stage3: bool = False
+    # cascade stage-3: split the train step into (frozen stage-1/2 forward)
+    # + (stage-3 fwd/bwd on the precomputed 128³ volume). EXACT only under
+    # freeze_shared_encoder_stage3 (vol128 must be constant w.r.t. trainable
+    # params — validated in Trainer.fit_cascade). Shrinks the stage-3
+    # compiled program: the round-3 b2-at-256³ compile-OOM lever.
+    stage3_split_step: bool = False
     num_epochs: int = 100          # single-model families
     batch_size: int = 8
     learning_rate: float = 1e-4
@@ -111,6 +129,9 @@ class DataConfig:
     max_patients: Optional[int] = None
     train_split: float = 0.8
     val_split: float = 0.1
+    # 'seeded_random' (utils/dataset.py:393-428) or 'sorted_fraction' (the
+    # simple dataset's deterministic sorted-dir slicing, dataset_simple.py:62-73)
+    split_mode: str = "seeded_random"
     normalization: str = "soft_tissue"
     xray_size: int = 512
     augmentation: bool = False

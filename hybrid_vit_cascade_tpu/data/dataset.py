@@ -231,9 +231,17 @@ def create_train_val_datasets(
     train_split: float = 0.8,
     val_split: float = 0.1,
     seed: int = 42,
+    split_mode: str = "seeded_random",
     **dataset_kwargs,
 ):
-    """Seeded random train/val/test split (utils/dataset.py:393-428)."""
+    """Train/val/test split.
+
+    split_mode='seeded_random': seeded permutation (utils/dataset.py:393-428).
+    split_mode='sorted_fraction': the simple dataset's deterministic
+    contiguous slicing of the SORTED patient order (dataset_simple.py:62-73)
+    — train = first int(n·train_split), val = next int(n·val_split), test =
+    the rest. Needed to reproduce the reference's exact test membership on a
+    real dataset (ignores `seed`)."""
     if isinstance(data_path_or_dataset, (str, Path)):
         full = PatientDRRDataset(str(data_path_or_dataset), **dataset_kwargs)
     else:
@@ -241,7 +249,14 @@ def create_train_val_datasets(
     n = len(full)
     n_train = int(train_split * n)
     n_val = int(val_split * n)
-    perm = np.random.default_rng(seed).permutation(n)
+    if split_mode == "sorted_fraction":
+        # PatientDRRDataset discovery is sorted-dir already; identity order
+        # reproduces the reference's patient_dirs[:n_train] slicing
+        perm = np.arange(n)
+    elif split_mode == "seeded_random":
+        perm = np.random.default_rng(seed).permutation(n)
+    else:
+        raise ValueError(f"unknown split_mode: {split_mode!r}")
     return (
         _Subset(full, perm[:n_train]),
         _Subset(full, perm[n_train : n_train + n_val]),

@@ -207,18 +207,39 @@ class InferenceEngine:
         prefix: str = "pred",
         upscale: Optional[Tuple[int, int, int]] = None,
         denormalize: bool = False,
+        target: Optional[np.ndarray] = None,
     ) -> Dict[str, str]:
         """Reconstruct and write .npy + .nii.gz + orthogonal PNGs
-        (inference_direct.py:238-276, inference_direct128.py:114-192)."""
+        (inference_direct.py:238-276, inference_direct128.py:114-192), plus
+        the 18-panel summary figure incl. MIP (inference_direct.py:98-235;
+        error/target panels and the metric suptitle need `target`,
+        (B, 1, D, H, W) at any resolution — it is resized to the output)."""
         out = Path(out_dir)
         out.mkdir(parents=True, exist_ok=True)
-        vol = self.reconstruct(xrays)
-        vol = np.asarray(vol)[0, 0]  # (D, H, W)
+        raw = self.reconstruct(xrays)
+        vol = np.asarray(raw)[0, 0]  # (D, H, W)
+        try:
+            from ..utils.viz import inference_summary_figure
+
+            t = metrics = None
+            if target is not None:
+                t = np.asarray(resize_target(jnp.asarray(target, jnp.float32), vol.shape))
+                v = jnp.asarray(raw, jnp.float32)
+                metrics = {"psnr": float(psnr(v, jnp.asarray(t))),
+                           "ssim": float(ssim_metric(v, jnp.asarray(t))),
+                           "mae": float(mae(v, jnp.asarray(t)))}
+            fig_path = out / f"{prefix}_summary.png"
+            inference_summary_figure(np.asarray(xrays), np.asarray(raw, np.float32),
+                                     t, metrics, str(fig_path))
+        except Exception as e:  # matplotlib issues must not kill the export
+            print(f"[infer] summary figure skipped: {e}")
         if upscale is not None:
             vol = np.asarray(resize_trilinear(jnp.asarray(vol)[None], upscale, align_corners=False))[0]
         if denormalize:
             vol = denormalize_ct(vol, self.cfg.data.normalization)
         paths = {}
+        if (out / f"{prefix}_summary.png").exists():
+            paths["summary"] = str(out / f"{prefix}_summary.png")
         np.save(out / f"{prefix}.npy", vol)
         paths["npy"] = str(out / f"{prefix}.npy")
         try:

@@ -415,6 +415,7 @@ class ProgressiveCascadeModel(nn.Module):
         max_stage: int = 3,
         train: bool = False,
         stop_grad_stage1: bool = False,
+        stage2_volume: Optional[jnp.ndarray] = None,
     ):
         """stop_grad_stage1: cut the backward at stage-1's output volume.
         During stage-2/3 training every stage-1 parameter (including its
@@ -423,8 +424,46 @@ class ProgressiveCascadeModel(nn.Module):
         stage-1 backward (train_progressive_1gpu.py:229-231); optax masking
         alone would compute those gradients and discard them. Trainable-param
         gradients are mathematically unaffected (no trainable parameter lies
-        upstream of vol64): asserted by tests/test_training.py."""
+        upstream of vol64): asserted by tests/test_training.py.
+
+        stage2_volume: a precomputed (B, 1, s2, s2, s2) stage-2 output; when
+        given (with max_stage=3), stages 1-2 are skipped entirely and stage 3
+        refines this volume. EXACT under the frozen-encoder stage-3 config
+        (freeze_shared_encoder_stage3: vol128 is constant w.r.t. every
+        trainable parameter) — used by the trainer's split stage-3 step to
+        shrink the compiled program (the b2-at-256³ compile-OOM lever).
+        NOTE: init must still run WITHOUT stage2_volume so stage-1/2 params
+        materialize."""
         outputs = {}
+        if stage2_volume is not None:
+            assert max_stage >= 3, "stage2_volume requires max_stage=3"
+            xray_encoder = MultiScaleXrayEncoder(
+                base_dim=self.xray_feature_dim, num_views=2, dtype=self.dtype,
+                name="xray_encoder"
+            )
+            s3 = self.stage_sizes[2]
+            feats3, cond, _ = xray_encoder(xrays, stage=3, train=train)
+            vol256 = Stage3Refiner256(
+                volume_size=(s3, s3, s3),
+                voxel_dim=self.voxel_dim,
+                vit_depth=self.stage_depths[2],
+                num_heads=self.stage_heads[2],
+                xray_feature_dim=self.xray_feature_dim,
+                dtype=self.dtype,
+                attn_impl=self.attn_impl,
+                remat=self.use_gradient_checkpointing,
+                remat_mode=self.remat_mode,
+                slab_scan=self.stage3_slab_scan,
+                slab_count=self.slab_count,
+                slab_impl=self.slab_impl,
+                store_min_flops=self.stage3_store_min_flops,
+                eval_schedule=self.stage3_eval_schedule,
+                name="stage3",
+            )(_ndhwc(stage2_volume), feats3, cond, train=train)
+            outputs["stage3"] = _nchw3d(vol256)
+            if return_intermediate:
+                return outputs
+            return outputs["stage3"]
         # One cascade-level encoder instance, called once per refine stage —
         # repeated calls of the same linen submodule share parameters.
         xray_encoder = MultiScaleXrayEncoder(

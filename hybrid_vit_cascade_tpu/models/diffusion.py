@@ -317,3 +317,35 @@ def ddim_sample(
 
     x, _ = jax.lax.scan(step, x, jnp.arange(num_steps))
     return x
+
+
+def cascaded_ddim_sample(
+    model: UnifiedHybridViTCascade,
+    variables,
+    xrays: jnp.ndarray,
+    rng: jax.Array,
+    num_steps: int = 20,
+    stage_names: Optional[Tuple[str, ...]] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Full progressive diffusion inference (64³→128³→256³): DDIM-sample each
+    stage in order, conditioning every refiner on the PREVIOUS stage's
+    generated volume (the chaining the reference models but never drives —
+    unified_model.py:261-392 accepts prev_stage_volume yet no script feeds
+    it, and it has no sampler). `variables` must hold every sampled stage's
+    params (Trainer.fit_diffusion_cascade trains them into one tree).
+
+    Returns {stage_name: (B, 1, D, H, W)} for every sampled stage."""
+    names = list(stage_names) if stage_names is not None else [
+        c["name"] for c in model.stage_configs]
+    out: Dict[str, jnp.ndarray] = {}
+    prev = None
+    for cfg in model.stage_configs:
+        if cfg["name"] not in names:
+            continue
+        rng, k = jax.random.split(rng)
+        vol = ddim_sample(model, variables, xrays, cfg["name"], k,
+                          tuple(cfg["volume_size"]), num_steps,
+                          prev_stage_volume=prev)
+        out[cfg["name"]] = vol
+        prev = vol
+    return out

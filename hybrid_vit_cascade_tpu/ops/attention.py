@@ -25,6 +25,7 @@ _FLASH_MIN_TOKENS = 2048
 # mean steady-state calls don't re-record) — used by the multi-chip dryrun and
 # tests to pin the production graph's attention paths.
 _dispatch_log: list = []
+_warned_flash_fallback = False
 
 
 def _log_dispatch(path: str, q) -> None:
@@ -203,6 +204,19 @@ def dot_product_attention(
             # XLA (sequence-sharded tokens, K/V all-gather inserted).
             # Applies to forced impl='flash' too — an unsharded pallas_call
             # under a model-axis mesh would be silently un-partitionable.
+            if impl == "flash":
+                # an explicit user request is being degraded (different
+                # numerics + memory profile) — say so, once
+                global _warned_flash_fallback
+                if not _warned_flash_fallback:
+                    _warned_flash_fallback = True
+                    import warnings
+
+                    warnings.warn(
+                        "impl='flash' requested under a model>1 mesh with no "
+                        "shardable (head/seq) axis; routing through the exact "
+                        "XLA path instead (numerics and memory profile differ).",
+                        stacklevel=2)
             _log_dispatch("xla", q)
             return _reference_attention(q, k, v, scale)
         from .pallas.flash_attention import flash_attention

@@ -44,14 +44,29 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+_warned_no_mesh_probe = False
+
+
 def ambient_mesh() -> Optional[Mesh]:
-    """The mesh installed by `with mesh:` around the jitted call — visible
-    during tracing, which is when the model's sharding constraints run.
-    (jax.sharding.get_mesh() raises inside jit; the thread-resources env is
-    the mechanism the Mesh context manager actually sets.)"""
+    """The mesh installed around the jitted call — visible during tracing,
+    which is when the model's sharding constraints run.
+
+    Two context mechanisms exist in jax 0.9: the supported
+    `jax.sharding.set_mesh` / `use_mesh` (read back via `get_mesh()`, which
+    returns an EMPTY Mesh when unset) and the legacy `with mesh:` context
+    (visible only through the deprecated thread-resources env). Probe the
+    supported API first; if the legacy probe disappears in a future JAX,
+    warn LOUDLY once instead of silently disabling every model-axis
+    sharding path."""
     import warnings
 
-    try:
+    try:  # supported context API (set_mesh / use_mesh)
+        m = jax.sharding.get_mesh()
+        if m is not None and not m.empty and isinstance(m, Mesh):
+            return m
+    except Exception:
+        pass
+    try:  # legacy `with mesh:` context
         with warnings.catch_warnings():
             warnings.simplefilter("ignore", DeprecationWarning)
             from jax.interpreters import pxla
@@ -59,6 +74,14 @@ def ambient_mesh() -> Optional[Mesh]:
             m = pxla.thread_resources.env.physical_mesh
         return None if m.empty else m
     except Exception:
+        global _warned_no_mesh_probe
+        if not _warned_no_mesh_probe:
+            _warned_no_mesh_probe = True
+            warnings.warn(
+                "jax.interpreters.pxla.thread_resources is gone in this JAX "
+                "version: `with mesh:` contexts are no longer detectable, so "
+                "model-axis sharding paths will NOT engage. Install the mesh "
+                "with jax.sharding.set_mesh/use_mesh instead.", stacklevel=2)
         return None
 
 

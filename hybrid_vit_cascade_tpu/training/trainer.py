@@ -116,9 +116,28 @@ def diffusion_stage_configs(m) -> tuple:
     return tuple(c for c in ladder if max(c["volume_size"]) <= top)
 
 
-def make_train_step(model, loss_fn: Callable, model_kwargs: Optional[Dict] = None):
+def _merge_stats(old, new):
+    """Merge a (possibly partial) batch_stats update over the full old tree —
+    modules skipped this step (e.g. stages 1-2 under the split stage-3 step)
+    keep their previous running stats."""
+    if isinstance(old, dict):
+        return {k: (_merge_stats(v, new[k]) if isinstance(new, dict) and k in new else v)
+                for k, v in old.items()}
+    return new if new is not None else old
+
+
+def make_train_step(model, loss_fn: Callable, model_kwargs: Optional[Dict] = None,
+                    extra_inputs: Optional[Dict[str, str]] = None,
+                    freeze_stats_prefixes: Optional[Tuple[str, ...]] = None):
     """loss_fn(pred, batch) -> dict with 'total_loss'. Returns a jitted
-    (state, batch, rng) -> (state, metrics) step."""
+    (state, batch, rng) -> (state, metrics) step.
+
+    extra_inputs: {model_kwarg: batch_key} — feed a (traced) batch entry as a
+    model kwarg, e.g. the split stage-3 step's precomputed stage2_volume.
+    freeze_stats_prefixes: top-level batch_stats subtrees to pin (no BN
+    running-stat drift — the freeze_shared_encoder_stage3 arm freezes the
+    shared encoder's stats too, otherwise the frozen stage-2 still shifts
+    under drifting normalization)."""
     mkw = dict(model_kwargs or {})
 
     def apply_loss(params, batch_stats, batch, rng):
@@ -131,13 +150,23 @@ def make_train_step(model, loss_fn: Callable, model_kwargs: Optional[Dict] = Non
         if batch_stats:
             variables["batch_stats"] = batch_stats
             mutable = ["batch_stats"]
+        kw = dict(mkw)
+        if extra_inputs:
+            for kwname, bkey in extra_inputs.items():
+                kw[kwname] = batch[bkey]
         out = model.apply(
             variables, batch["drr_stacked"], train=True,
-            mutable=mutable, rngs={"dropout": rng}, **mkw,
+            mutable=mutable, rngs={"dropout": rng}, **kw,
         )
         pred, updates = out if mutable else (out, {})
+        new_bs = batch_stats
+        if mutable and "batch_stats" in updates:
+            new_bs = _merge_stats(batch_stats, updates["batch_stats"])
+            if freeze_stats_prefixes:
+                new_bs = {k: (batch_stats[k] if any(k.startswith(p) for p in freeze_stats_prefixes)
+                              else v) for k, v in new_bs.items()}
         ld = loss_fn(pred, batch)
-        return ld["total_loss"].astype(jnp.float32), (ld, updates.get("batch_stats", batch_stats))
+        return ld["total_loss"].astype(jnp.float32), (ld, new_bs)
 
     # donate the state: without it the old and updated params/opt-state
     # coexist (~2x params+adam HBM), which matters at the 256³ stages
@@ -287,7 +316,7 @@ class Trainer:
                 cache_in_memory=d.cache_in_memory, max_patients=d.max_patients,
             )
         self.train_ds, self.val_ds, self.test_ds = create_train_val_datasets(
-            ds, d.train_split, d.val_split, seed=42
+            ds, d.train_split, d.val_split, seed=42, split_mode=d.split_mode
         )
         if len(self.val_ds) == 0:  # tiny datasets: validate on train
             self.val_ds = self.train_ds
@@ -339,6 +368,8 @@ class Trainer:
         if fam == "cascade":
             return self.fit_cascade(resume=resume)
         if fam == "diffusion":
+            if self.cfg.training.diffusion_progressive:
+                return self.fit_diffusion_cascade(resume=resume, progress=progress)
             return self.fit_diffusion(epochs=epochs, progress=progress)
         t = self.cfg.training
         epochs = epochs if epochs is not None else t.num_epochs
@@ -381,30 +412,26 @@ class Trainer:
         return state, int(meta.get("epoch", -1)) + 1
 
     # --- diffusion family -------------------------------------------------
-    def fit_diffusion(self, stage_name: Optional[str] = None, epochs: Optional[int] = None,
-                      progress: bool = True) -> Dict[str, float]:
-        """Train one diffusion stage (the reference's legacy family is only
-        ever driven one stage at a time, unified_model.py:261-392)."""
-        t = self.cfg.training
-        epochs = epochs if epochs is not None else t.num_epochs
-        stages = diffusion_stage_configs(self.cfg.model)
-        cfg_stage = stages[-1] if stage_name is None else next(s for s in stages if s["name"] == stage_name)
+    def _diffusion_steps(self, stage_cfgs, stage_idx: int, variables_template=None):
+        """Build the jitted (train_step, eval_step) pair for one diffusion
+        stage. Refiner stages (idx > 0) are conditioned on the GROUND-TRUTH
+        volume downsampled to the previous stage's resolution — the
+        progressive chaining of unified_model.py:261-392 that no reference
+        script ever drove (its fit never fed prev_stage_volume)."""
+        model = self.model
+        cfg_stage = stage_cfgs[stage_idx]
         stage = cfg_stage["name"]
         resolution = tuple(cfg_stage["volume_size"])
+        prev_res = tuple(stage_cfgs[stage_idx - 1]["volume_size"]) if stage_idx > 0 else None
 
-        item = self.train_ds[0]
-        x0 = jnp.zeros((1, 1, *resolution), jnp.float32)
-        xr = jnp.zeros((1, *item["drr_stacked"].shape), jnp.float32)
-        rng = jax.random.PRNGKey(t.seed)
-        variables = jax.jit(lambda r, a, b: self.model.init(r, a, b, stage, r))(rng, x0, xr)
+        def prev_of(batch):
+            if prev_res is None:
+                return None
+            return resize_target(batch["ct_volume"], prev_res)
 
-        steps_per_epoch = max(1, len(self.train_ds) // t.batch_size)
-        tx = make_optimizer(t.learning_rate, steps_per_epoch * epochs, t.weight_decay, t.gradient_clip)
-        mesh = self._mesh_for_batch(t.batch_size)
-        state = self._make_state(variables, tx, mesh)
-        model = self.model
-
-        @jax.jit
+        # donated state: old+new params/opt-state must not coexist at the
+        # 256³ ladder top (same reasoning as make_train_step)
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch, rng):
             rng = jax.random.fold_in(rng, state.step)
             d_rng, t_rng = jax.random.split(rng)
@@ -417,6 +444,7 @@ class Trainer:
                     vs["batch_stats"] = batch_stats
                     mutable = ["batch_stats"]
                 out = model.apply(vs, x_start, batch["drr_stacked"], stage, t_rng,
+                                  prev_stage_volume=prev_of(batch),
                                   train=True, mutable=mutable, rngs={"dropout": d_rng})
                 ld, updates = out if mutable else (out, {})
                 return ld["loss"], (ld, updates.get("batch_stats", batch_stats))
@@ -429,7 +457,7 @@ class Trainer:
                 state = state.replace(batch_stats=new_bs)
             return state, ld
 
-        sample_steps = t.diffusion_sample_steps
+        sample_steps = self.cfg.training.diffusion_sample_steps
 
         @jax.jit
         def eval_step(params, batch_stats, batch):
@@ -439,12 +467,15 @@ class Trainer:
             if batch_stats:
                 vs["batch_stats"] = batch_stats
             target = resize_target(batch["ct_volume"], resolution)
+            prev = prev_of(batch)
             ld = model.apply(vs, target, batch["drr_stacked"], stage,
-                             jax.random.PRNGKey(0), train=False)
+                             jax.random.PRNGKey(0), prev_stage_volume=prev, train=False)
             # real reconstruction metrics via the DDIM sampler (the reference
-            # has no sampler — its diffusion quality was unmeasurable)
+            # has no sampler — its diffusion quality was unmeasurable);
+            # teacher-forced prev conditioning isolates this stage's quality
             recon = ddim_sample(model, vs, batch["drr_stacked"], stage,
-                                jax.random.PRNGKey(1), resolution, num_steps=sample_steps)
+                                jax.random.PRNGKey(1), resolution, num_steps=sample_steps,
+                                prev_stage_volume=prev)
             return {"loss": ld["loss"], "psnr": psnr(recon, target),
                     "ssim": ssim_metric(recon, target)}
 
@@ -452,9 +483,136 @@ class Trainer:
             state, ld = train_step(state, batch, rng)
             return state, {"total_loss": ld["loss"], **ld}
 
-        return self._run_epochs(state, renamed_step, eval_step, t.batch_size, 0, epochs,
-                                t.learning_rate, progress, phase=f"diffusion_{stage}", mesh=mesh,
-                                target_resolution=resolution)
+        return renamed_step, eval_step, resolution
+
+    def _init_diffusion_stage(self, stage_cfgs, stage_idx: int, rng):
+        """jit-init one diffusion stage's variables (with a zero prev volume
+        for refiner stages, so prev_proj/fusion params materialize)."""
+        cfg_stage = stage_cfgs[stage_idx]
+        resolution = tuple(cfg_stage["volume_size"])
+        item = self.train_ds[0]
+        x0 = jnp.zeros((1, 1, *resolution), jnp.float32)
+        xr = jnp.zeros((1, *item["drr_stacked"].shape), jnp.float32)
+        prev = (jnp.zeros((1, 1, *stage_cfgs[stage_idx - 1]["volume_size"]), jnp.float32)
+                if stage_idx > 0 else None)
+        init_fn = jax.jit(lambda r, a, b, p: self.model.init(
+            r, a, b, cfg_stage["name"], r, prev_stage_volume=p))
+        return init_fn(rng, x0, xr, prev)
+
+    def fit_diffusion(self, stage_name: Optional[str] = None, epochs: Optional[int] = None,
+                      progress: bool = True) -> Dict[str, float]:
+        """Train one diffusion stage. Refiner stages are conditioned on the
+        GT-downsampled previous-stage volume (see _diffusion_steps); use
+        fit_diffusion_cascade for the full progressive schedule."""
+        t = self.cfg.training
+        epochs = epochs if epochs is not None else t.num_epochs
+        stages = diffusion_stage_configs(self.cfg.model)
+        idx = len(stages) - 1 if stage_name is None else \
+            [s["name"] for s in stages].index(stage_name)
+        variables = self._init_diffusion_stage(stages, idx, jax.random.PRNGKey(t.seed))
+        steps_per_epoch = max(1, len(self.train_ds) // t.batch_size)
+        tx = make_optimizer(t.learning_rate, steps_per_epoch * epochs, t.weight_decay, t.gradient_clip)
+        mesh = self._mesh_for_batch(t.batch_size)
+        state = self._make_state(variables, tx, mesh)
+        train_step, eval_step, resolution = self._diffusion_steps(stages, idx)
+        return self._run_epochs(state, train_step, eval_step, t.batch_size, 0, epochs,
+                                t.learning_rate, progress, phase=f"diffusion_{stages[idx]['name']}",
+                                mesh=mesh, target_resolution=resolution)
+
+    def fit_diffusion_cascade(self, stage_configs=None, resume: bool = True,
+                              progress: bool = True, chain_eval: bool = True) -> Dict[str, float]:
+        """Progressive diffusion training 64³→128³→256³ with prev-stage
+        chaining (unified_model.py:261-392 + the stagewise schedule of the
+        cascade family), then a fully-GENERATED cascaded DDIM evaluation
+        (stage N sampled conditioned on stage N-1's sample, not GT).
+
+        Per-stage epochs/batch/LR come from training.stages['stageN'] (by
+        ladder position). Each stage trains its own subtree + the shared
+        encoder/time-MLP; completed stages freeze (reference freeze_stage
+        semantics). Checkpoints land in save_dir/diffusion_{name}/."""
+        from ..models.diffusion import cascaded_ddim_sample
+
+        t = self.cfg.training
+        stages = list(stage_configs if stage_configs is not None
+                      else diffusion_stage_configs(self.cfg.model))
+        rng = jax.random.PRNGKey(t.seed)
+
+        def merge(a, b):
+            if isinstance(a, dict) and isinstance(b, dict):
+                out = dict(a)
+                for k, v in b.items():
+                    out[k] = merge(a[k], v) if k in a else v
+                return out
+            return a  # identical shared leaves: keep the first init's value
+
+        variables = None
+        for i in range(len(stages)):
+            vs = self._init_diffusion_stage(stages, i, rng)
+            variables = vs if variables is None else merge(variables, vs)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+
+        last: Dict[str, float] = {}
+        for i, sc_diff in enumerate(stages):
+            name = sc_diff["name"]
+            sc = t.stages.get(f"stage{i + 1}")
+            epochs = sc.num_epochs if sc else t.num_epochs
+            batch = sc.batch_size if sc else t.batch_size
+            lr = sc.learning_rate if sc else t.learning_rate
+            steps_per_epoch = max(1, len(self.train_ds) // batch)
+            trainable = [f"stage_{name}", f"prev_proj_{name}", "xray_encoder",
+                         "Dense_0", "Dense_1"]  # shared time-embedding MLP
+            tx = make_optimizer(lr, steps_per_epoch * epochs, t.weight_decay,
+                                t.gradient_clip, trainable_prefixes=trainable, params=params)
+            mesh = self._mesh_for_batch(batch)
+            state = self._make_state({"params": params, "batch_stats": batch_stats}, tx, mesh)
+            stage_ckpt = CheckpointManager(
+                f"{self.cfg.checkpoints.save_dir}/diffusion_{name}", self.cfg.checkpoints.save_every
+            )
+            start_epoch = 0
+            if resume:
+                state, start_epoch = self._restore_state(stage_ckpt, state)
+                if start_epoch >= epochs:
+                    params, batch_stats = state.params, state.batch_stats
+                    meta = getattr(stage_ckpt, "_best", {})
+                    last = {"loss": meta.get("loss", 0.0), "psnr": meta.get("psnr", 0.0),
+                            "ssim": meta.get("ssim", 0.0)}
+                    if progress:
+                        print(f"[diffusion_{name}] complete at epoch {start_epoch - 1}; skipping")
+                    continue
+            train_step, eval_step, resolution = self._diffusion_steps(stages, i)
+            last = self._run_epochs(state, train_step, eval_step, batch, start_epoch, epochs,
+                                    lr, progress, phase=f"diffusion_{name}", ckpt=stage_ckpt,
+                                    mesh=mesh, target_resolution=resolution)
+            params = self._last_state.params
+            batch_stats = self._last_state.batch_stats
+
+        if chain_eval:
+            # fully-generated cascaded sampling on one val batch: the honest
+            # progressive-inference number (no GT leakage into conditioning)
+            item = self.val_ds[0]
+            xr = jnp.asarray(np.asarray(item["drr_stacked"])[None], jnp.float32)
+            vs = {"params": params}
+            if batch_stats:
+                vs["batch_stats"] = batch_stats
+            vols = jax.jit(
+                lambda v, x: cascaded_ddim_sample(
+                    self.model, v, x, jax.random.PRNGKey(7),
+                    num_steps=t.diffusion_sample_steps,
+                    stage_names=tuple(s["name"] for s in stages))
+            )(vs, xr)
+            gt = jnp.asarray(np.asarray(item["ct_volume"])[None], jnp.float32)
+            for nm, vol in vols.items():
+                tgt = resize_target(gt, vol.shape[-3:])
+                last[f"chain_{nm}_psnr"] = float(psnr(vol, tgt))
+                last[f"chain_{nm}_ssim"] = float(ssim_metric(vol, tgt))
+            if jax.process_index() == 0:
+                self.jsonl.log({"phase": "diffusion_chain_eval",
+                                **{k: v for k, v in last.items() if k.startswith("chain_")}})
+            if progress:
+                chain = {k: round(v, 3) for k, v in last.items() if k.startswith("chain_")}
+                print(f"[diffusion] cascaded DDIM eval: {chain}")
+        return last
 
     # --- cascade stagewise -----------------------------------------------
     def fit_cascade(self, stages=("stage1", "stage2", "stage3"), resume: bool = True,
@@ -483,7 +641,11 @@ class Trainer:
             # too — torch AdamW skips no-grad params, so the reference leaves
             # untouched stages bitwise intact; labeling them trainable here
             # would weight-decay them through exactly-zero grads.
-            trainable = [stage_name] + (["xray_encoder"] if n >= 2 else [])
+            # freeze_shared_encoder_stage3: keep the shared encoder fixed in
+            # stage 3 so the frozen stage-2 intermediate (which reads the same
+            # encoder) is not degraded under it — see TrainingConfig.
+            share_enc = n >= 2 and not (n == 3 and t.freeze_shared_encoder_stage3)
+            trainable = [stage_name] + (["xray_encoder"] if share_enc else [])
             tx = make_optimizer(sc.learning_rate, steps_per_epoch * sc.num_epochs, t.weight_decay,
                                 t.gradient_clip, trainable_prefixes=trainable, params=params)
             stage_mesh = self._mesh_for_batch(sc.batch_size)
@@ -512,11 +674,47 @@ class Trainer:
                 return loss_obj(pred, target, stage=_n, input_xrays=xr)
 
             mkw = {"max_stage": n}
+            freeze_enc3 = n == 3 and t.freeze_shared_encoder_stage3
+            split3 = freeze_enc3 and t.stage3_split_step
+            if t.stage3_split_step and n == 3 and not t.freeze_shared_encoder_stage3:
+                raise ValueError(
+                    "stage3_split_step requires freeze_shared_encoder_stage3: "
+                    "with a trainable shared encoder the precomputed vol128 "
+                    "would silently drop the encoder-through-stage-2 gradient")
             # Refine stages: prune the (fully frozen) stage-1 backward, as the
             # reference's requires_grad=False freeze does — see
             # ProgressiveCascadeModel.stop_grad_stage1.
-            train_step = make_train_step(
-                self.model, loss_fn, {**mkw, "stop_grad_stage1": n >= 2})
+            fs = ("xray_encoder",) if freeze_enc3 else None
+            if split3:
+                model = self.model
+
+                @jax.jit
+                def stage2_forward(params, batch_stats, batch, rng):
+                    vs = {"params": params}
+                    mutable = False
+                    if batch_stats:
+                        vs["batch_stats"] = batch_stats
+                        mutable = ["batch_stats"]  # train-mode BN needs a
+                        # writable collection; updates are DISCARDED (the
+                        # freeze arm pins the prefix's running stats)
+                    out = model.apply(vs, batch["drr_stacked"], train=True,
+                                      max_stage=2, mutable=mutable,
+                                      rngs={"dropout": rng})
+                    return out[0] if mutable else out
+
+                base_step = make_train_step(
+                    self.model, loss_fn, {**mkw},
+                    extra_inputs={"stage2_volume": "stage2_vol"},
+                    freeze_stats_prefixes=fs)
+
+                def train_step(state, batch, rng, _fwd=stage2_forward, _step=base_step):
+                    pre_rng = jax.random.fold_in(jax.random.fold_in(rng, state.step), 17)
+                    vol128 = _fwd(state.params, state.batch_stats, batch, pre_rng)
+                    return _step(state, {**batch, "stage2_vol": vol128}, rng)
+            else:
+                train_step = make_train_step(
+                    self.model, loss_fn, {**mkw, "stop_grad_stage1": n >= 2},
+                    freeze_stats_prefixes=fs)
             eval_step = make_eval_step(self.model, lambda b, _res=resolution: resize_target(b["ct_volume"], _res), mkw)
             self.ckpt_stage = stage_ckpt
             last = self._run_epochs(
@@ -572,11 +770,22 @@ class Trainer:
             train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
             vals = []
             n_data = mesh.shape["data"]
+            n_proc = jax.process_count()
             for batch in val_loader:
-                # shard eval over the data axis too when the batch divides it
-                # (otherwise every chip would redundantly compute the full
-                # eval batch); odd-sized tail batches fall back to replication
-                bsh = dsh if batch["drr_stacked"].shape[0] % n_data == 0 else esh
+                # shard eval over the data axis when the GLOBAL batch (the
+                # loader yields process-local shards) divides it — otherwise
+                # every chip would redundantly compute the full eval batch.
+                global_b = batch["drr_stacked"].shape[0] * n_proc
+                if global_b % n_data == 0:
+                    bsh = dsh
+                elif n_proc == 1:
+                    bsh = esh  # odd tail, single host: replicate (same data)
+                else:
+                    # multi-host ragged tail: a replicated sharding over
+                    # per-process-DISTINCT loader shards would assemble an
+                    # inconsistent array and desync per-process metrics (and
+                    # then the collective checkpoint barriers); drop it.
+                    continue
                 batch = _arrays_only(shard_batch(batch, bsh))
                 vals.append(eval_step(state.params, state.batch_stats, batch))
             val = {k: float(jnp.mean(jnp.stack([v[k] for v in vals]))) for k in vals[0]} if vals else {}
@@ -586,12 +795,14 @@ class Trainer:
             ckpt.save({"params": state.params, "batch_stats": state.batch_stats}, epoch, metrics,
                       config=self.cfg.to_dict(),
                       opt={"opt_state": state.opt_state, "step": state.step})
-            self.csv.log(epoch=epoch, phase=phase, loss=f"{train_loss:.6f}",
-                         psnr=f"{metrics['psnr']:.3f}", ssim=f"{metrics['ssim']:.4f}",
-                         lr=lr, time=f"{dt:.1f}")
-            self.jsonl.log({"epoch": epoch, "phase": phase, "train_loss": train_loss, **val,
-                            "seconds": dt, "samples_per_sec": n_samples / max(dt, 1e-9)})
-            if self.cfg.training.use_wandb:
+            if jax.process_index() == 0:  # rank-0 logging (shared FS: every
+                # process appending the same CSV/JSONL rows would race)
+                self.csv.log(epoch=epoch, phase=phase, loss=f"{train_loss:.6f}",
+                             psnr=f"{metrics['psnr']:.3f}", ssim=f"{metrics['ssim']:.4f}",
+                             lr=lr, time=f"{dt:.1f}")
+                self.jsonl.log({"epoch": epoch, "phase": phase, "train_loss": train_loss, **val,
+                                "seconds": dt, "samples_per_sec": n_samples / max(dt, 1e-9)})
+            if self.cfg.training.use_wandb and jax.process_index() == 0:
                 from ..utils import wandb_compat
 
                 wandb_compat.log({"phase": phase, "train_loss": train_loss, **val}, step=epoch)
@@ -599,7 +810,11 @@ class Trainer:
                 print(f"[{phase}] epoch {epoch}: loss={train_loss:.4f} "
                       f"val_psnr={metrics['psnr']:.2f} dB val_ssim={metrics['ssim']:.4f} ({dt:.1f}s)")
             ve = self.cfg.training.viz_every
-            if ve and viz_kwargs is not None and ((epoch + 1) % ve == 0 or epoch == epochs - 1):
+            # process-0 only: every process writing the same PNG/JSONL paths
+            # on a shared filesystem would race (and duplicate the capture
+            # forward); viz is pure observation, so no collective is involved
+            if ve and viz_kwargs is not None and jax.process_index() == 0 \
+                    and ((epoch + 1) % ve == 0 or epoch == epochs - 1):
                 try:
                     self._viz_epoch(state, epoch, phase, esh, viz_kwargs)
                 except Exception as exc:  # viz must never kill a training run
@@ -630,7 +845,17 @@ class Trainer:
         out_dir = Path(self.cfg.checkpoints.save_dir) / "viz" / f"epoch_{epoch:03d}"
         out_dir.mkdir(parents=True, exist_ok=True)
         item = self.val_ds[0]
-        xrays = jax.device_put(np.asarray(item["drr_stacked"])[None], esh)
+        params, batch_stats = state.params, state.batch_stats
+        if jax.process_count() > 1:
+            # only process 0 reaches here: a jit over the global mesh would
+            # be a collective and hang, so run the capture forward on a
+            # process-LOCAL device (params are replicated → fully addressable)
+            local = jax.local_devices()[0]
+            params = jax.device_put(jax.device_get(params), local)
+            batch_stats = jax.device_put(jax.device_get(batch_stats), local)
+            xrays = jax.device_put(np.asarray(item["drr_stacked"])[None], local)
+        else:
+            xrays = jax.device_put(np.asarray(item["drr_stacked"])[None], esh)
         gt = np.asarray(item["ct_volume"], np.float32)
 
         fns = getattr(self, "_viz_fns", None)
@@ -655,7 +880,7 @@ class Trainer:
                     **mkw)
 
             fns[key] = jax.jit(_fwd)
-        pred, inter = fns[key](state.params, state.batch_stats, xrays)
+        pred, inter = fns[key](params, batch_stats, xrays)
 
         files: Dict[str, str] = {}
         vols = pred if isinstance(pred, dict) else {phase: pred}

@@ -9,8 +9,16 @@ cannot reach:
   2. Global-batch assembly (`shard_batch` → make_array_from_process_local_data)
      + one real DP train step over the 2-device global mesh: the psum'd loss
      must be identical on both processes and finite.
-  3. The process_index-0 checkpoint guard (training/checkpoint.py `save`):
-     process 0 writes, process 1 returns {} and writes nothing.
+  3. The collective checkpoint save (training/checkpoint.py `save`): every
+     process calls save() (Orbax runs sync_global_devices barriers inside);
+     only the filesystem bookkeeping in `_write` is process-0-gated. Both
+     processes must agree on the best-tag decision and restore round-trip.
+  4. A few-epoch `Trainer.fit_cascade` crossing the stage1→stage2 boundary
+     (round-3 VERDICT item 7): per-stage optimizers/freeze masks, the
+     host-side target pre-resize transform in the prefetch thread, sharded
+     eval (global-batch divisibility), collective per-stage checkpoints, and
+     a resume call that must skip both completed stages — with identical
+     metrics on both processes at every step.
 
 Run:  python scripts/rehearse_multihost.py          (spawns 2 workers, checks)
 The reference has no analog — its DDP paths were only ever exercised on 4
@@ -99,6 +107,38 @@ def worker(process_id: int, port: int, tmp: str) -> None:
         lambda a, b: bool(np.allclose(a, b)), restored, host_params))
     report["ckpt_roundtrip"] = bool(leaves_ok) and meta.get("epoch") == 0
 
+    # --- 4. few-epoch fit_cascade across the stage1→stage2 boundary --------
+    # Tiny cascade (8³→16³→32³), 2 epochs/stage: exercises per-stage
+    # optimizers + freeze masks, the host pre-resize transform in the
+    # prefetch thread, data-sharded eval under process_count=2, collective
+    # per-stage checkpoints, and completed-stage skip on resume.
+    from hybrid_vit_cascade_tpu.config import (CheckpointConfig, Config,
+                                               DataConfig, ModelConfig,
+                                               StageConfig, TrainingConfig)
+    from hybrid_vit_cascade_tpu.training.trainer import Trainer
+
+    cfg = Config(
+        model=ModelConfig(family="cascade", volume_size=(8, 8, 8), xray_img_size=32,
+                          voxel_dim=32, vit_depth=1, num_heads=4, xray_feature_dim=32,
+                          stage_depths=(1, 1, 1), stage_heads=(4, 4, 4),
+                          stage_sizes=(8, 16, 32), use_gradient_checkpointing=False,
+                          attn_impl="xla"),
+        training=TrainingConfig(seed=5, stages={
+            "stage1": StageConfig(2, 2, 1e-4, (8, 8, 8)),
+            "stage2": StageConfig(2, 2, 5e-5, (16, 16, 16)),
+            "stage3": StageConfig(1, 2, 2e-5, (32, 32, 32)),
+        }),
+        data=DataConfig(synthetic=True, synthetic_patients=12, xray_size=32,
+                        train_split=2 / 3, val_split=1 / 6, num_prefetch=2),
+        checkpoints=CheckpointConfig(save_dir=os.path.join(tmp, "cascade_run")),
+    )
+    trainer = Trainer(cfg)
+    fitted = trainer.fit_cascade(stages=("stage1", "stage2"), resume=True)
+    report["cascade_metrics"] = {k: float(v) for k, v in fitted.items()}
+    # resume: both completed stages must be skipped with best-meta echoed
+    resumed = Trainer(cfg).fit_cascade(stages=("stage1", "stage2"), resume=True)
+    report["cascade_resume"] = {k: float(v) for k, v in resumed.items()}
+
     with open(os.path.join(tmp, f"report_{process_id}.json"), "w") as f:
         json.dump(report, f)
     # Align process exits: interpreter teardown runs jax.distributed's
@@ -146,8 +186,19 @@ def main() -> None:
     assert reports[0]["ckpt_improved"] and reports[1]["ckpt_improved"], reports
     assert reports[0]["ckpt_roundtrip"] and reports[1]["ckpt_roundtrip"], reports
     assert os.path.isdir(os.path.join(tmp, "ckpt", "latest"))
+    # cascade fit: identical final metrics on both processes; resume skipped
+    # both completed stages and echoed the same best metrics
+    cm0, cm1 = reports[0]["cascade_metrics"], reports[1]["cascade_metrics"]
+    for k in cm0:
+        assert abs(cm0[k] - cm1[k]) < 1e-5, (k, cm0, cm1)
+    rs0, rs1 = reports[0]["cascade_resume"], reports[1]["cascade_resume"]
+    for k in ("psnr", "ssim"):  # resume echoes BEST meta — equal across procs
+        assert abs(rs0[k] - rs1[k]) < 1e-5, (k, rs0, rs1)
+    for st in ("stage1", "stage2"):
+        assert os.path.isdir(os.path.join(tmp, "cascade_run", st, "latest")), st
     print(json.dumps({"multihost_rehearsal": "OK", "port": port,
                       "loss": reports[0]["loss"],
+                      "cascade": cm0,
                       "indices": [sorted(i0), sorted(i1)]}))
 
 

@@ -66,6 +66,17 @@ class TestPatientDataset:
         tr2, va2, te2 = data.create_train_val_datasets(ds, train_split=0.5, val_split=0.5, seed=7)
         assert tr1.indices == tr2.indices and va1.indices == va2.indices
 
+    def test_sorted_fraction_split(self, patient_dir):
+        """dataset_simple.py:62-73 semantics: contiguous slices of the sorted
+        patient order — train = [:int(n·tr)], val next, test the rest."""
+        ds = data.PatientDRRDataset(str(patient_dir), target_xray_size=32, target_volume_size=(16, 16, 16))
+        tr, va, te = data.create_train_val_datasets(
+            ds, train_split=0.5, val_split=0.5, split_mode="sorted_fraction")
+        assert list(tr.indices) == [0] and list(va.indices) == [1] and len(te) == 0
+        assert tr[0]["patient_id"] == "pat_a" and va[0]["patient_id"] == "pat_b"
+        with pytest.raises(ValueError):
+            data.create_train_val_datasets(ds, split_mode="nope")
+
 
 class TestLoader:
     def test_batching_and_epoch_shuffle(self):

@@ -99,11 +99,14 @@ class TestInferenceEngine:
         assert np.isfinite(metrics["psnr"]) and 0 <= metrics["ssim"] <= 1
 
         paths = engine.export(item["drr_stacked"][None], str(tmp_path / "out"),
-                              prefix="t", upscale=(24, 24, 24))
+                              prefix="t", upscale=(24, 24, 24),
+                              target=item["ct_volume"][None])
         assert Path(paths["npy"]).exists()
         up = np.load(paths["npy"])
         assert up.shape == (24, 24, 24)
         assert Path(paths["views"]).exists()
+        # 18-panel summary figure incl. MIP (inference_direct.py:98-235)
+        assert Path(paths["summary"]).exists()
 
         summary = engine.evaluate_dataset(ds, out_json=str(tmp_path / "eval.json"))
         assert "psnr" in summary and (tmp_path / "eval.json").exists()

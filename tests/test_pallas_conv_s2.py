@@ -6,6 +6,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight: excluded from the default tier
 from jax import lax
 
 from hybrid_vit_cascade_tpu.ops.pallas.conv3d_k3s2 import (

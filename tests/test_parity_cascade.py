@@ -18,6 +18,10 @@ element, including both resize conventions (align_corners=False at stage
 boundaries, align_corners=True inside the ViT head) and all three GroupNorm
 group counts."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight: excluded from the default tier
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight: excluded from the default tier
 import torch
 import torch.nn as tnn
 import torch.nn.functional as tF

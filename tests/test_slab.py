@@ -9,6 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavyweight: excluded from the default tier
+
 from hybrid_vit_cascade_tpu.ops.slab import (
     chain_apply_dense,
     chain_apply_slab,

