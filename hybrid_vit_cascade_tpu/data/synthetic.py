@@ -217,11 +217,23 @@ class SyntheticCTDataset:
         if idx in self._cache:
             return self._cache[idx]
         base = max(self.volume_size)
-        hu = make_phantom_volume(base, seed=self.seed * 10007 + idx)
-        vol = window_volume(hu, self.preset)
-        if vol.shape != self.volume_size:
-            vol = _np_resize_trilinear(vol, self.volume_size)
-        drr = render_drr_pair(vol, self.xray_size)
+        seed = self.seed * 10007 + idx
+        vol = drr = None
+        disk = self._disk_cache_path(base, seed)
+        if disk is not None and disk.exists():
+            try:
+                z = np.load(disk)
+                vol, drr = z["vol"], z["drr"]
+            except Exception:
+                vol = drr = None  # corrupt/partial file: regenerate
+        if vol is None:
+            hu = make_phantom_volume(base, seed=seed)
+            vol = window_volume(hu, self.preset)
+            if vol.shape != self.volume_size:
+                vol = _np_resize_trilinear(vol, self.volume_size)
+            drr = render_drr_pair(vol, self.xray_size)
+            if disk is not None:
+                self._disk_cache_write(disk, vol, drr)
         item = {
             "ct_volume": vol[None],  # (1, D, H, W)
             "drr_stacked": drr,  # (2, 1, S, S)
@@ -231,3 +243,31 @@ class SyntheticCTDataset:
         }
         self._cache[idx] = item
         return item
+
+    def _disk_cache_path(self, base: int, seed: int):
+        """Optional on-disk phantom cache (256³ generation is ~9 s/patient on
+        one host CPU — a 64-patient dataset costs ~10 min per process start).
+        Opt-in via HVC_PHANTOM_CACHE=<dir>; keyed by every generation input."""
+        import os
+        from pathlib import Path
+
+        root = os.environ.get("HVC_PHANTOM_CACHE")
+        if not root or base < 64:
+            return None
+        d, h, w = self.volume_size
+        return Path(root) / (f"ph_v2_b{base}_s{seed}_{d}x{h}x{w}"
+                             f"_x{self.xray_size}_{self.preset}.npz")
+
+    @staticmethod
+    def _disk_cache_write(path, vol: np.ndarray, drr: np.ndarray) -> None:
+        import os
+        import tempfile
+
+        try:
+            path.parent.mkdir(parents=True, exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=str(path.parent), suffix=".npz")
+            with os.fdopen(fd, "wb") as f:
+                np.savez(f, vol=vol, drr=drr)
+            os.replace(tmp, path)  # atomic: concurrent readers never see partials
+        except Exception:
+            pass  # cache is best-effort
