@@ -658,7 +658,8 @@ class Trainer:
             if resume:
                 state, start_epoch = self._restore_state(stage_ckpt, state)
                 if start_epoch >= sc.num_epochs:  # stage already complete
-                    params, batch_stats = state.params, state.batch_stats
+                    params, batch_stats = self._carry_best(
+                        stage_ckpt, state.params, state.batch_stats)
                     meta = getattr(stage_ckpt, "_best", {})
                     last = {"loss": meta.get("loss", 0.0), "psnr": meta.get("psnr", 0.0),
                             "ssim": meta.get("ssim", 0.0)}
@@ -722,10 +723,24 @@ class Trainer:
                 sc.learning_rate, progress, phase=stage_name, ckpt=self.ckpt_stage, mesh=stage_mesh,
                 target_resolution=resolution, viz_kwargs=dict(mkw),
             )
-            # carry learned params to the next stage (ref: filtered prev-stage load)
-            params = self._last_state.params
-            batch_stats = self._last_state.batch_stats
+            # Carry the BEST-val-PSNR params to the next stage, not the final
+            # epoch's — the reference's stage transition loads
+            # stage{N-1}_best.pth (train_progressive_1gpu.py:205-235), and a
+            # late-schedule decline (the freq term keeps trading PSNR for
+            # spectrum match after the PSNR peak) would otherwise poison
+            # every later stage's input.
+            params, batch_stats = self._carry_best(
+                stage_ckpt, self._last_state.params, self._last_state.batch_stats)
         return last
+
+    def _carry_best(self, stage_ckpt: CheckpointManager, params, batch_stats):
+        """Best-val-PSNR params of a finished stage (falls back to the given
+        final-epoch values when no best_psnr checkpoint exists)."""
+        if not (stage_ckpt.save_dir / "best_psnr").exists():
+            return params, batch_stats
+        tpl = {"params": params, "batch_stats": batch_stats}
+        restored, meta = stage_ckpt.restore("best_psnr", dict(tpl))
+        return restored["params"], restored["batch_stats"]
 
     # --- epoch loop -------------------------------------------------------
     def _run_epochs(self, state, train_step, eval_step, batch_size, start_epoch, epochs, lr,

@@ -449,6 +449,8 @@ class TestDiffusionTrainer:
         assert "prev_proj_hi" in tr._last_state.params
 
 
+@pytest.mark.slow  # full-cascade virtual-mesh dryruns: minutes of CPU
+# compile, and the driver's own MULTICHIP check runs this very entry point
 class TestSharding:
     def test_dryrun_multichip_8(self):
         import sys, pathlib
