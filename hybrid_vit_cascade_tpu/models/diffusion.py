@@ -84,6 +84,10 @@ class UnifiedCascadeStage(nn.Module):
     use_depth_lifting: bool = True
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
+    # jax.checkpoint per ViT block (the reference family has no grad-ckpt at
+    # all — its diffusion was never trained; required here to fit the 128³+
+    # ladder stages in 16 GB)
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -137,6 +141,7 @@ class UnifiedCascadeStage(nn.Module):
             use_prev_stage=self.use_prev_stage,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            remat=self.remat,
             name="vit_backbone",
         )(x, context, time_xray_cond, prev_stage_embed, train=train)
 
@@ -156,6 +161,7 @@ class UnifiedHybridViTCascade(nn.Module):
     v_parameterization: bool = True
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
+    remat: bool = False  # per-block jax.checkpoint in every stage denoiser
 
     @property
     def schedule(self) -> NoiseSchedule:
@@ -229,6 +235,7 @@ class UnifiedHybridViTCascade(nn.Module):
             use_depth_lifting=cfg.get("use_depth_lifting", True),
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            remat=self.remat,
             name=f"stage_{stage_name}",
         )(
             jnp.moveaxis(x_noisy, 1, -1).astype(self.dtype),

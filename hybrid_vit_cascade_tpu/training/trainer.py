@@ -90,7 +90,7 @@ def build_model(cfg: Config):
 
         return UnifiedHybridViTCascade(
             stage_configs=diffusion_stage_configs(m), xray_embed_dim=m.xray_feature_dim, dtype=dtype,
-            attn_impl=m.attn_impl,
+            attn_impl=m.attn_impl, remat=m.use_gradient_checkpointing,
         )
     raise ValueError(f"unsupported family for Trainer: {m.family}")
 
