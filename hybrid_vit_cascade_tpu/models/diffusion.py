@@ -111,13 +111,18 @@ class UnifiedCascadeStage(nn.Module):
                 prev_feat = jnp.broadcast_to(
                     prev_stage_volume, prev_stage_volume.shape[:-1] + (self.xray_feature_dim,)
                 )
-            prior = CascadedDepthLifting(
+            # remat the lifter too: its (B, D, H', W', C) fp32 GroupNorm
+            # intermediates (several 2.25 GB tensors at the 128³ stage) are
+            # the ladder's true memory hog, not the ViT blocks
+            lifter_cls = (nn.remat(CascadedDepthLifting, static_argnums=(2,))
+                          if self.remat else CascadedDepthLifting)
+            prior = lifter_cls(
                 feature_dim=self.xray_feature_dim,
                 depth_sizes=(64, 128, 256),
                 use_prev_stage=self.use_prev_stage,
                 dtype=self.dtype,
                 name="depth_lifter",
-            )(xray_features, target_depth=D, prev_stage_volume=prev_feat)
+            )(xray_features, D, prev_feat)
             prior = nn.Conv(
                 16, (1, 1, 1), kernel_init=torch_default_init, dtype=self.dtype, name="depth_to_volume"
             )(prior)
