@@ -1,7 +1,11 @@
 """Benchmark: 256³ progressive-cascade inference throughput per chip, plus
 training steps/sec for the stage-2 (128³) and stage-3 (256³) cascade stages.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "extra"}.
+Prints a JSON line {"metric", "value", "unit", "vs_baseline", "extra"} after
+EVERY completed phase — the driver records the stdout tail and the LAST line
+wins, so a partial run (or an external `timeout` killing this process
+mid-phase) still leaves a complete, parseable result with whatever phases
+finished. The final line carries everything.
 
 vs_baseline: the reference never measured inference throughput; its only
 recorded hardware throughput is 256³ *training* on a B200 at ~15-20 min per
@@ -11,21 +15,28 @@ that as the denominator until a better baseline exists — i.e. vs_baseline is
 256³ samples/s on its best GPU". `extra` carries the training-throughput
 north-star metrics (BASELINE.md) on the same chip: steps/sec for a batch-2
 128³ stage-2 step and a batch-1 256³ stage-3 step (full MultiScaleLoss,
-donated buffers, slab-streamed stage-3 conv branches).
+donated buffers, slab-streamed stage-3 conv branches), each with its own
+same-task vs-reference ratio.
 
-Resilience (round-3 hardening — the round-2 driver capture died on a single
-transient `FAILED_PRECONDITION: TPU backend error` with no retry):
-  * every phase (preflight probe, inference, train2, train3) runs in its OWN
-    subprocess with a hard timeout, so a wedged backend can't hang the bench;
-  * each phase is retried with backoff on failure (the axon tunnel is known
-    to wedge transiently: cold `jax.devices()` can exceed 2 min, backend init
-    intermittently fails);
-  * the XLA compile cache is keyed per backend (/root/jaxcache/<backend>) so
-    CPU dryrun artifacts can never poison the TPU cache (round-2
-    MULTICHIP log showed cpu_aot_loader machine-mismatch warnings from a
-    shared cache);
-  * on persistent failure the script still prints ONE parseable JSON line
-    with the error recorded instead of a traceback, and exits 0.
+Resilience history:
+  * round 3: every phase runs in its OWN subprocess with a hard timeout
+    (a wedged backend can't hang the orchestrator, which never imports
+    jax); retries with backoff on transient TPU-tunnel faults; the XLA
+    compile cache is keyed per backend+machine under /root/jaxcache.
+  * round 5 (the round-4 driver capture was rc=124 with an EMPTY tail —
+    the driver killed the orchestrator before its single end-of-run print):
+    (a) a result line is now streamed after every phase (and one
+    immediately at startup), flushed; (b) a GLOBAL wall-clock budget
+    (HVC_BENCH_BUDGET_S, default 2000 s ≈ 33 min) bounds the worst case
+    from a COLD compile cache — each phase's subprocess timeout is clamped
+    to the remaining budget, a phase that would start with <120 s left is
+    skipped with a recorded error instead of retried, and train phases get
+    exactly one attempt. Worst case total stays under ~35 min; the driver
+    budget (>2400 s) can no longer expire before the first line.
+Cold-cache phase costs measured on axon (docs/ROUND_NOTES.md): backend
+init ~2 min worst, 256³ inference compile ~4-6 min, stage-2 train compile
+~2 min, stage-3 256³ split-free train compile ~9-12 min (dominates — hence
+last, with whatever budget remains).
 """
 
 import json
@@ -36,11 +47,18 @@ import time
 
 REFERENCE_SAMPLES_PER_SEC = 80.0 / (17.5 * 60.0)  # ≈ 0.076 (B200, training)
 
-# Per-phase wall-clock limits (seconds). Cold numbers on axon: backend init
-# >2 min, stage-3 256³ compile ~525-600 s, donated-step second compile ~100 s.
-PHASE_TIMEOUT = {"probe": 480, "inference": 1800, "train2": 1800, "train3": 3300}
-PHASE_ATTEMPTS = {"probe": 3, "inference": 2, "train2": 2, "train3": 2}
-RETRY_BACKOFF_S = 30
+TOTAL_BUDGET_S = float(os.environ.get("HVC_BENCH_BUDGET_S", "2000"))
+MIN_PHASE_S = 120  # don't start a phase with less than this left
+# Nominal per-phase wall-clock limits (seconds), clamped to remaining budget.
+PHASE_TIMEOUT = {"probe": 300, "inference": 900, "train2": 600, "train3": 1500}
+PHASE_ATTEMPTS = {"probe": 2, "inference": 2, "train2": 1, "train3": 1}
+RETRY_BACKOFF_S = 15
+
+_T0 = time.monotonic()
+
+
+def _remaining() -> float:
+    return TOTAL_BUDGET_S - (time.monotonic() - _T0)
 
 
 def _machine_tag() -> str:
@@ -188,14 +206,21 @@ def phase_train(stage: int, batch: int, n_iters: int = 3) -> dict:
 # ---------------------------------------------------------------------------
 
 def _run_phase(phase: str) -> dict:
-    """Run one phase in a subprocess with timeout + retry. Returns the phase's
-    JSON dict, or {"error": ...} after all attempts fail."""
-    attempts = PHASE_ATTEMPTS.get(phase, 2)
-    timeout = PHASE_TIMEOUT.get(phase, 1800)
+    """Run one phase in a subprocess, timeout clamped to the remaining global
+    budget. Returns the phase's JSON dict, or {"error": ...} when the phase
+    failed, timed out, or the budget has no room left for it."""
+    attempts = PHASE_ATTEMPTS.get(phase, 1)
     last_err = "unknown"
     for attempt in range(attempts):
         if attempt:
             time.sleep(RETRY_BACKOFF_S)
+        timeout = min(PHASE_TIMEOUT.get(phase, 600), _remaining())
+        if timeout < MIN_PHASE_S:
+            return {"error": f"skipped: global budget exhausted "
+                             f"({_remaining():.0f}s left of {TOTAL_BUDGET_S:.0f}); {last_err}"
+                             if last_err != "unknown" else
+                             f"skipped: global budget exhausted "
+                             f"({_remaining():.0f}s left of {TOTAL_BUDGET_S:.0f})"}
         try:
             res = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--phase", phase],
@@ -203,7 +228,7 @@ def _run_phase(phase: str) -> dict:
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
         except subprocess.TimeoutExpired:
-            last_err = f"timeout after {timeout}s (attempt {attempt + 1}/{attempts})"
+            last_err = f"timeout after {timeout:.0f}s (attempt {attempt + 1}/{attempts})"
             continue
         if res.returncode == 0:
             # the phase's json line is the LAST stdout line (jax may log above)
@@ -219,6 +244,19 @@ def _run_phase(phase: str) -> dict:
             tail = (res.stderr or res.stdout or "").strip().splitlines()[-6:]
             last_err = f"rc={res.returncode}: " + " | ".join(tail)[-500:]
     return {"error": last_err}
+
+
+def _emit(vols_per_sec, extra) -> None:
+    """Print the (current) headline JSON line. Streamed after every phase:
+    the driver keeps the tail and the last line wins, so partial progress is
+    always parseable."""
+    print(json.dumps({
+        "metric": "cascade256_inference_volumes_per_sec_per_chip",
+        "value": round(vols_per_sec, 4) if vols_per_sec else None,
+        "unit": "vol/s/chip",
+        "vs_baseline": round(vols_per_sec / REFERENCE_SAMPLES_PER_SEC, 2) if vols_per_sec else None,
+        "extra": extra,
+    }), flush=True)
 
 
 def main(argv=None):
@@ -243,46 +281,52 @@ def main(argv=None):
         print(json.dumps(out))
         return
 
-    extra = {}
+    # First line lands immediately: even a kill during the probe leaves a
+    # parseable (null-valued) record of how far the run got.
+    extra = {"status": "started", "budget_s": TOTAL_BUDGET_S}
+    _emit(None, extra)
+
     probe = _run_phase("probe")
     extra["probe"] = probe
     if "error" in probe or not probe.get("ok", False):
-        # Backend is down after retries: emit a parseable diagnostic line.
-        print(json.dumps({
-            "metric": "cascade256_inference_volumes_per_sec_per_chip",
-            "value": None, "unit": "vol/s/chip", "vs_baseline": None,
-            "extra": {"error": "preflight probe failed — TPU backend unavailable",
-                      "probe": probe},
-        }))
+        extra["error"] = "preflight probe failed — TPU backend unavailable"
+        extra["status"] = "aborted"
+        _emit(None, extra)
         return
+
+    extra["status"] = "probed"
+    _emit(None, extra)
 
     inf = _run_phase("inference")
     vols_per_sec = inf.get("volumes_per_sec")
     if vols_per_sec is None:
         extra["inference_error"] = inf.get("error", "unknown")
+    extra["status"] = "inference_done"
+    _emit(vols_per_sec, extra)
 
     if not args.skip_train:
-        for phase, key in [("train2", "train_stage2_128_b2_steps_per_sec"),
-                           ("train3", "train_stage3_256_b1_steps_per_sec")]:
+        # cheapest-first: stage-2's compile is ~5× cheaper than stage-3's, so
+        # a budget squeeze sacrifices only the most expensive number
+        for phase, key, ref_key in [
+            ("train2", "train_stage2_128_b2_steps_per_sec", None),
+            ("train3", "train_stage3_256_b1_steps_per_sec",
+             "train_stage3_vs_reference_b200"),
+        ]:
             r = _run_phase(phase)
             extra[key] = (round(r["steps_per_sec"], 4) if "steps_per_sec" in r
                           else f"error: {r.get('error', 'unknown')}")
-        # Apples-to-apples ratio: OUR 256³ stage-3 training throughput over
-        # the reference's only recorded 256³ training throughput (B200).
-        # The headline vs_baseline above mixes inference/training (documented
-        # in the module docstring) — this one is same-task, same-stage.
-        s3 = extra.get("train_stage3_256_b1_steps_per_sec")
-        if isinstance(s3, float):
-            extra["train_stage3_vs_reference_b200"] = round(
-                s3 / REFERENCE_SAMPLES_PER_SEC, 2)
+            # Apples-to-apples ratio: OUR 256³ stage-3 training throughput
+            # over the reference's only recorded 256³ training throughput
+            # (B200). The headline vs_baseline mixes inference/training
+            # (documented in the module docstring) — this one is same-task.
+            if ref_key and isinstance(extra[key], float):
+                extra[ref_key] = round(extra[key] / REFERENCE_SAMPLES_PER_SEC, 2)
+            extra["status"] = f"{phase}_done"
+            _emit(vols_per_sec, extra)
 
-    print(json.dumps({
-        "metric": "cascade256_inference_volumes_per_sec_per_chip",
-        "value": round(vols_per_sec, 4) if vols_per_sec else None,
-        "unit": "vol/s/chip",
-        "vs_baseline": round(vols_per_sec / REFERENCE_SAMPLES_PER_SEC, 2) if vols_per_sec else None,
-        "extra": extra,
-    }))
+    extra["status"] = "complete"
+    extra["elapsed_s"] = round(time.monotonic() - _T0, 1)
+    _emit(vols_per_sec, extra)
 
 
 if __name__ == "__main__":
