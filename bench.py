@@ -119,10 +119,11 @@ def phase_probe() -> dict:
     }
 
 
-def phase_inference(n_iters: int = 5, batch: int = 2) -> dict:
-    """Serving throughput at the throughput-optimal batch (sweep on v5e,
-    wave 9: b1 2.58 vol/s, b2 2.71, b4 exceeds the chip — batch 2 amortizes
-    dispatch + kernel grid overheads)."""
+def phase_inference(n_iters: int = 5, batch: int = 3) -> dict:
+    """Serving throughput at the throughput-optimal batch (flat-schedule
+    sweep on v5e, wave 11: b2 675 ms → 2.96 vol/s, b3 999 ms → 3.00 vol/s,
+    b4 fails to compile on the 15.75 GB chip — batch 3 banks the last +1.5%
+    of dispatch/grid amortization; round-4 VERDICT item 8)."""
     jax = _setup_backend_keyed_cache()
     import jax.numpy as jnp
 

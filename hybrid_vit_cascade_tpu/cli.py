@@ -74,7 +74,12 @@ def cmd_infer(args):
             raise SystemExit("--pa-xray and --lat-xray must be given together")
         from .inference.infer import load_xray_pair
 
-        xr = load_xray_pair(args.pa_xray, args.lat_xray, size=cfg.data.xray_size)
+        from .data.dataset import NORMALIZATION_PRESETS
+
+        # raw images follow the checkpoint's normalization preset — the same
+        # range the dataset feeds at train time ([-1,1] for soft_tissue)
+        xr = load_xray_pair(args.pa_xray, args.lat_xray, size=cfg.data.xray_size,
+                            normalize_range=NORMALIZATION_PRESETS[cfg.data.normalization]["range"])
         upscale = tuple(int(x) for x in args.upscale.split(",")) if args.upscale else None
         paths = engine.export(xr, args.output, prefix="raw_pair", upscale=upscale,
                               denormalize=args.denormalize)

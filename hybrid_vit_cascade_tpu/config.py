@@ -51,6 +51,10 @@ class ModelConfig:
     # stage-3 remat granularity: 'block' (minimum memory) | 'mlp' (faster —
     # attention kernels are not re-run in the backward; ~1.5 GB extra HBM)
     remat_mode: str = "block"
+    # diffusion family: >1 streams each stage's depth-lifter fusion in this
+    # many depth slabs (never materializes the GB-scale lift intermediates
+    # at full depth — unlocks batch ≥2 at the 128³ ladder stage)
+    diffusion_lift_slabs: int = 0
 
 
 @dataclass
@@ -71,6 +75,12 @@ class TrainingConfig:
     # chaining + cascaded DDIM eval (fit_diffusion_cascade) instead of the
     # single top stage
     diffusion_progressive: bool = False
+    # diffusion ladder: freeze the shared xray_encoder + time-MLP after
+    # stage 1 — the diffusion analog of freeze_shared_encoder_stage3 (earlier
+    # stages' samplers otherwise run under whatever encoder the last stage
+    # left behind, the shared-module-shift mechanism of the r3 cascade
+    # collapse)
+    freeze_shared_diffusion: bool = False
     # cascade: freeze the SHARED xray_encoder during stage-3 training. The
     # reference trains it through stage 3 (train_progressive_1gpu.py:229-250
     # freezes only stage modules), which silently degrades the frozen

@@ -234,11 +234,20 @@ class SyntheticCTDataset:
             drr = render_drr_pair(vol, self.xray_size)
             if disk is not None:
                 self._disk_cache_write(disk, vol, drr)
+        # DRRs follow the preset's normalize_range — the SAME convention
+        # PatientDRRDataset applies to on-disk images (dataset.py:118-121,
+        # reference utils/dataset.py:161-192): [-1,1] for soft_tissue. The
+        # round-5 real-tree dress rehearsal caught the earlier [0,1] synthetic
+        # convention diverging from the real-data path (a synthetic-trained
+        # checkpoint would have seen wrong-range inputs on a real tree).
+        # Cache files keep storing the raw [0,1] render.
+        lo, hi = {"soft_tissue": (-1.0, 1.0), "full": (0.0, 1.0)}[self.preset]
+        drr_n = (drr * (hi - lo) + lo).astype(np.float32)
         item = {
             "ct_volume": vol[None],  # (1, D, H, W)
-            "drr_stacked": drr,  # (2, 1, S, S)
-            "drr_frontal": drr[0],
-            "drr_lateral": drr[1],
+            "drr_stacked": drr_n,  # (2, 1, S, S)
+            "drr_frontal": drr_n[0],
+            "drr_lateral": drr_n[1],
             "patient_id": f"phantom_{idx:04d}",
         }
         self._cache[idx] = item
@@ -271,3 +280,42 @@ class SyntheticCTDataset:
             os.replace(tmp, path)  # atomic: concurrent readers never see partials
         except Exception:
             pass  # cache is best-effort
+
+
+def write_reference_tree(
+    root,
+    num_patients: int = 4,
+    base_size: int = 64,
+    xray_size: int = 512,
+    seed: int = 0,
+) -> list:
+    """Materialize phantoms as a REFERENCE-FORMAT patient tree on disk —
+    `<root>/<pid>/{<pid>_pa_drr.png, <pid>_lat_drr.png, <pid>.nii.gz}` — the
+    exact filename/layout contract PatientDRRDataset discovers
+    (utils/dataset.py:94-159). Volumes are written in raw HU via the repo's
+    own NIfTI codec (data/nifti.py write_nifti) so the real load path
+    (gzip → NIfTI parse → HU window → resize) is exercised end-to-end;
+    DRRs are 8-bit PNGs rendered from the soft-tissue-windowed volume.
+    Powers the real-data-format dress rehearsal (scripts/rehearse_real_tree
+    + tests/test_data.py) — the first real dataset this framework meets must
+    not be the first time that path runs. Returns the patient ids."""
+    from pathlib import Path
+
+    from PIL import Image
+
+    from .nifti import write_nifti
+
+    root = Path(root)
+    pids = []
+    for i in range(num_patients):
+        pid = f"patient{i:03d}"
+        d = root / pid
+        d.mkdir(parents=True, exist_ok=True)
+        hu = make_phantom_volume(base_size, seed=seed * 10007 + i)
+        write_nifti(d / f"{pid}.nii.gz", hu.astype(np.float32))
+        drr = render_drr_pair(window_volume(hu, "soft_tissue"), xray_size)
+        for view, name in ((drr[0, 0], "pa_drr"), (drr[1, 0], "lat_drr")):
+            img = np.clip(view * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            Image.fromarray(img, mode="L").save(d / f"{pid}_{name}.png")
+        pids.append(pid)
+    return pids

@@ -112,6 +112,9 @@ class InferenceEngine:
     """Load a checkpoint (+ embedded config) and reconstruct volumes."""
 
     def __init__(self, checkpoint_dir: str, config: Optional[Config] = None):
+        from ..utils import setup_compile_cache
+
+        setup_compile_cache()  # 256³ serving program: minutes cold, s cached
         ckpt_path = Path(checkpoint_dir)
         meta_file = ckpt_path / "meta.json"
         if config is None:
@@ -231,15 +234,18 @@ class InferenceEngine:
             fig_path = out / f"{prefix}_summary.png"
             inference_summary_figure(np.asarray(xrays), np.asarray(raw, np.float32),
                                      t, metrics, str(fig_path))
+            summary_path = str(fig_path)  # only after a successful write — a
+            # stale file from a previous export must not be reported as ours
         except Exception as e:  # matplotlib issues must not kill the export
             print(f"[infer] summary figure skipped: {e}")
+            summary_path = None
         if upscale is not None:
             vol = np.asarray(resize_trilinear(jnp.asarray(vol)[None], upscale, align_corners=False))[0]
         if denormalize:
             vol = denormalize_ct(vol, self.cfg.data.normalization)
         paths = {}
-        if (out / f"{prefix}_summary.png").exists():
-            paths["summary"] = str(out / f"{prefix}_summary.png")
+        if summary_path:
+            paths["summary"] = summary_path
         np.save(out / f"{prefix}.npy", vol)
         paths["npy"] = str(out / f"{prefix}.npy")
         try:

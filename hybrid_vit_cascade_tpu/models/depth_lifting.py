@@ -66,18 +66,44 @@ class CascadedDepthWeightNetwork(nn.Module):
         return weights.astype(self.dtype)  # (B, H, W, D)
 
 
+class _GroupNormParams(nn.Module):
+    """Parameter-only shim with nn.GroupNorm's exact tree ({scale, bias},
+    fp32 ones/zeros) so the streamed lifter path shares checkpoints with the
+    dense path bit-for-bit."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.features,)),
+                self.param("bias", nn.initializers.zeros, (self.features,)))
+
+
 class CascadedDepthLifting(nn.Module):
     """Lift 2D X-ray features to a 3D volume via depth distributions, fusing a
     previous-stage volume by concat + Conv3d when cascading
-    (cascaded_depth_lifting.py:121-218).
+    (cascaded_depth_lifting.py:121-218; lift_to_3d :159-203).
 
-    __call__(xray_features (B, H, W, C), target_depth, prev (B, D', H', W', C))
-    → (B, D, H, W, C) channels-last."""
+    __call__(xray_features (B, H, W, C), target_depth, prev (B, D', H', W', c))
+    → (B, D, H, W, C) channels-last. `prev` may carry c=1 (the raw previous
+    volume) or c=C: the 1-channel form is resized first and broadcast to C
+    lazily (identical numerics — trilinear resize is per-channel — without
+    ever materializing a (B, D', H', W', C) broadcast).
+
+    lift_slabs > 1 streams the fusion branch in depth-slabs: the
+    (B, D, H, W, C) outer-product/concat/GroupNorm intermediates — ~1 GB
+    EACH at the 128³ ladder stage with C=512, the diffusion family's true
+    memory hog (ROUND_NOTES r4) — never materialize at full depth. GroupNorm
+    needs global statistics, so the streamed path runs two passes (stats,
+    then emit) with exact conv halos, the same scheme as ops/slab.py; each
+    slab body is rematerialized in the backward. Parameters and numerics are
+    identical to the dense path (tests/test_models.py)."""
 
     feature_dim: int = 512
     depth_sizes: Sequence[int] = (64, 128, 256)
     use_prev_stage: bool = True
     dtype: Dtype = jnp.float32
+    lift_slabs: int = 0
 
     @nn.compact
     def __call__(
@@ -87,27 +113,125 @@ class CascadedDepthLifting(nn.Module):
         prev_stage_volume: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         B, H, W, C = xray_features.shape
+        D = target_depth
+        feats = xray_features.astype(self.dtype)
         weights = CascadedDepthWeightNetwork(
-            max_depth=target_depth, dtype=self.dtype, name=f"depth_{target_depth}"
-        )(xray_features)  # (B, H, W, D)
+            max_depth=D, dtype=self.dtype, name=f"depth_{D}"
+        )(feats)  # (B, H, W, D)
+
+        fusing = (prev_stage_volume is not None and self.use_prev_stage
+                  and D > min(self.depth_sizes))
+        prev = None
+        if fusing:
+            prev = jnp.moveaxis(prev_stage_volume, -1, 1)  # (B, c, D', H', W')
+            prev = resize_trilinear(prev, (D, H, W), align_corners=True)
+            prev = jnp.moveaxis(prev, 1, -1).astype(self.dtype)  # (B, D, H, W, c)
+
+        if fusing and self.lift_slabs > 1 and D % self.lift_slabs == 0:
+            return self._fused_streamed(feats, weights, prev, D)
 
         # (B, H, W, 1, C) * (B, H, W, D, 1) → (B, H, W, D, C) → (B, D, H, W, C)
-        vol = xray_features[:, :, :, None, :] * weights[..., None]
+        vol = feats[:, :, :, None, :] * weights[..., None]
         vol = jnp.moveaxis(vol, 3, 1)
 
-        if prev_stage_volume is not None and self.use_prev_stage and target_depth > min(self.depth_sizes):
-            prev = jnp.moveaxis(prev_stage_volume, -1, 1)  # (B, C, D', H', W')
-            prev = resize_trilinear(prev, (target_depth, H, W), align_corners=True)
-            prev = jnp.moveaxis(prev, 1, -1)
+        if fusing:
+            if prev.shape[-1] == 1:
+                prev = jnp.broadcast_to(prev, prev.shape[:-1] + (C,))
             h = jnp.concatenate([vol, prev.astype(vol.dtype)], axis=-1)
             h = nn.Conv(
                 self.feature_dim, (3, 3, 3), padding=1, kernel_init=torch_default_init, dtype=self.dtype,
-                name=f"fusion_{target_depth}_a",
+                name=f"fusion_{D}_a",
             )(h)
             h = group_norm(8, dtype=self.dtype)(h)
             h = nn.silu(h)
             vol = nn.Conv(
                 self.feature_dim, (3, 3, 3), padding=1, kernel_init=torch_default_init, dtype=self.dtype,
-                name=f"fusion_{target_depth}_b",
+                name=f"fusion_{D}_b",
             )(h)
         return vol
+
+    def _fused_streamed(self, feats, weights, prev, D: int) -> jnp.ndarray:
+        """Depth-slab streamed lift→concat→conv→GN→silu→conv. Pass 1 streams
+        conv_a outputs to accumulate the global GroupNorm (Σ, Σx²); pass 2
+        re-streams with halos and emits. Conv halos are exact: a slab extent
+        [lo, hi) is lifted with zero planes outside [0, D) (the dense SAME
+        padding), conv output rows touched by the extent's own SAME pad are
+        cropped, and hn rows outside the volume are re-zeroed before conv_b
+        (dense conv_b sees zero padding there, not silu(GN(conv_a(0))))."""
+        import jax
+
+        B, H, W, C = feats.shape
+        groups = 8
+        S = self.lift_slabs
+        ds = D // S
+        conv_a = nn.Conv(self.feature_dim, (3, 3, 3), padding=1,
+                         kernel_init=torch_default_init, dtype=self.dtype,
+                         name=f"fusion_{D}_a")
+        gn_scale, gn_bias = _GroupNormParams(self.feature_dim, name="GroupNorm_0")()
+        conv_b = nn.Conv(self.feature_dim, (3, 3, 3), padding=1,
+                         kernel_init=torch_default_init, dtype=self.dtype,
+                         name=f"fusion_{D}_b")
+        if self.is_mutable_collection("params"):
+            # init pass: materialize the conv params OUTSIDE the checkpointed
+            # slab bodies (param creation inside jax.checkpoint leaks tracers;
+            # reads of existing params are plain closure captures)
+            conv_a(jnp.zeros((1, 3, 1, 1, 2 * C), self.dtype))
+            conv_b(jnp.zeros((1, 3, 1, 1, self.feature_dim), self.dtype))
+
+        def lift_extent(lo: int, hi: int) -> jnp.ndarray:
+            """Concat slab (B, hi-lo, H, W, 2C), zero outside [0, D)."""
+            lo_c, hi_c = max(lo, 0), min(hi, D)
+            w_sl = weights[..., lo_c:hi_c]  # (B, H, W, n)
+            v = feats[:, :, :, None, :] * w_sl[..., None]
+            v = jnp.moveaxis(v, 3, 1)  # (B, n, H, W, C)
+            p = prev[:, lo_c:hi_c]
+            if p.shape[-1] == 1:
+                p = jnp.broadcast_to(p, p.shape[:-1] + (C,))
+            h = jnp.concatenate([v, p.astype(v.dtype)], axis=-1)
+            pad_lo, pad_hi = lo_c - lo, hi - hi_c
+            if pad_lo or pad_hi:
+                h = jnp.pad(h, ((0, 0), (pad_lo, pad_hi), (0, 0), (0, 0), (0, 0)))
+            return h
+
+        gsz = self.feature_dim // groups
+
+        def slab_sums(j):
+            d0 = j * ds
+            h = conv_a(lift_extent(d0 - 1, d0 + ds + 1))[:, 1:-1]  # (B, ds, H, W, F)
+            hf = h.astype(jnp.float32).reshape(h.shape[0], -1, groups, gsz)
+            s1 = hf.sum(axis=(1, 3))  # (B, G)
+            s2 = (hf * hf).sum(axis=(1, 3))
+            return s1, s2
+
+        # hf reshape above flattens (ds, H, W) into axis 1 and splits channels
+        # into (groups, gsz) — stats accumulate per (batch, group), exactly
+        # nn.GroupNorm's reduction axes
+        s1 = jnp.zeros((B, groups), jnp.float32)
+        s2 = jnp.zeros((B, groups), jnp.float32)
+        for j in range(S):
+            a, b = jax.checkpoint(slab_sums, static_argnums=(0,))(j)
+            s1, s2 = s1 + a, s2 + b
+        count = float(D * H * W * gsz)
+        mean = s1 / count
+        var = jnp.maximum(s2 / count - mean * mean, 0.0)
+        inv = jax.lax.rsqrt(var + 1e-5)  # (B, G) fp32
+
+        def emit(j, mean, inv):
+            d0 = j * ds
+            h = conv_a(lift_extent(d0 - 2, d0 + ds + 2))[:, 1:-1]  # (B, ds+2, H, W, F)
+            hf = h.astype(jnp.float32)
+            sh = hf.shape
+            hf = hf.reshape(sh[:-1] + (groups, gsz))
+            hf = (hf - mean[:, None, None, None, :, None]) * inv[:, None, None, None, :, None]
+            hf = hf.reshape(sh)
+            hn = nn.silu((hf * gn_scale + gn_bias).astype(self.dtype))
+            # zero rows outside the volume: dense conv_b sees SAME zero pad
+            if d0 == 0:
+                hn = hn.at[:, 0].set(0.0)
+            if d0 + ds == D:
+                hn = hn.at[:, -1].set(0.0)
+            return conv_b(hn)[:, 1:-1]  # (B, ds, H, W, F)
+
+        outs = [jax.checkpoint(emit, static_argnums=(0,))(j, mean, inv)
+                for j in range(S)]
+        return jnp.concatenate(outs, axis=1)

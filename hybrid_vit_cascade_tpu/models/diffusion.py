@@ -88,6 +88,9 @@ class UnifiedCascadeStage(nn.Module):
     # all — its diffusion was never trained; required here to fit the 128³+
     # ladder stages in 16 GB)
     remat: bool = False
+    # >1: stream the depth lifter's fusion in this many depth slabs
+    # (CascadedDepthLifting.lift_slabs) — unlocks batch ≥2 at the 128³ stage
+    lift_slabs: int = 0
 
     @nn.compact
     def __call__(
@@ -104,16 +107,14 @@ class UnifiedCascadeStage(nn.Module):
         x = noisy_volume
 
         if self.use_depth_lifting:
-            prev_feat = None
-            if prev_stage_volume is not None:
-                # Lift the 1-channel previous volume to feature_dim by broadcast-
-                # free conv inside the lifter's fusion; pass as channels-last.
-                prev_feat = jnp.broadcast_to(
-                    prev_stage_volume, prev_stage_volume.shape[:-1] + (self.xray_feature_dim,)
-                )
+            # The 1-channel previous volume goes in as-is — the lifter resizes
+            # it first and broadcasts to feature_dim lazily per slab (the old
+            # up-front broadcast_to materialized a full C-channel volume).
             # remat the lifter too: its (B, D, H', W', C) fp32 GroupNorm
-            # intermediates (several 2.25 GB tensors at the 128³ stage) are
-            # the ladder's true memory hog, not the ViT blocks
+            # intermediates (several GB-scale tensors at the 128³ stage) are
+            # the ladder's true memory hog, not the ViT blocks; lift_slabs
+            # additionally depth-streams the fusion so they never materialize
+            # at full depth at all.
             lifter_cls = (nn.remat(CascadedDepthLifting, static_argnums=(2,))
                           if self.remat else CascadedDepthLifting)
             prior = lifter_cls(
@@ -121,8 +122,9 @@ class UnifiedCascadeStage(nn.Module):
                 depth_sizes=(64, 128, 256),
                 use_prev_stage=self.use_prev_stage,
                 dtype=self.dtype,
+                lift_slabs=self.lift_slabs,
                 name="depth_lifter",
-            )(xray_features, D, prev_feat)
+            )(xray_features, D, prev_stage_volume)
             prior = nn.Conv(
                 16, (1, 1, 1), kernel_init=torch_default_init, dtype=self.dtype, name="depth_to_volume"
             )(prior)
@@ -167,6 +169,7 @@ class UnifiedHybridViTCascade(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False  # per-block jax.checkpoint in every stage denoiser
+    lift_slabs: int = 0  # >1: depth-stream every stage's lifter fusion
 
     @property
     def schedule(self) -> NoiseSchedule:
@@ -241,6 +244,7 @@ class UnifiedHybridViTCascade(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             remat=self.remat,
+            lift_slabs=self.lift_slabs,
             name=f"stage_{stage_name}",
         )(
             jnp.moveaxis(x_noisy, 1, -1).astype(self.dtype),

@@ -91,6 +91,7 @@ def build_model(cfg: Config):
         return UnifiedHybridViTCascade(
             stage_configs=diffusion_stage_configs(m), xray_embed_dim=m.xray_feature_dim, dtype=dtype,
             attn_impl=m.attn_impl, remat=m.use_gradient_checkpointing,
+            lift_slabs=m.diffusion_lift_slabs,
         )
     raise ValueError(f"unsupported family for Trainer: {m.family}")
 
@@ -280,6 +281,9 @@ class Trainer:
     def __init__(self, cfg: Config, mesh=None):
         validate_config(cfg)
         self.cfg = cfg
+        from ..utils import setup_compile_cache
+
+        setup_compile_cache()  # 256³ stage programs: ~10 min cold, s when cached
         if cfg.training.debug_nans:
             jax.config.update("jax_debug_nans", True)
         if cfg.training.use_wandb:
@@ -562,6 +566,13 @@ class Trainer:
             steps_per_epoch = max(1, len(self.train_ds) // batch)
             trainable = [f"stage_{name}", f"prev_proj_{name}", "xray_encoder",
                          "Dense_0", "Dense_1"]  # shared time-embedding MLP
+            if i > 0 and t.freeze_shared_diffusion:
+                # pin the shared encoder + time-MLP after stage 1: the same
+                # shared-module-shift mechanism behind the cascade's r3
+                # stage-2 collapse applies here (earlier stages' samplers run
+                # under whatever encoder the LAST stage left behind) —
+                # analogous to freeze_shared_encoder_stage3
+                trainable = [f"stage_{name}", f"prev_proj_{name}"]
             tx = make_optimizer(lr, steps_per_epoch * epochs, t.weight_decay,
                                 t.gradient_clip, trainable_prefixes=trainable, params=params)
             mesh = self._mesh_for_batch(batch)
@@ -573,7 +584,11 @@ class Trainer:
             if resume:
                 state, start_epoch = self._restore_state(stage_ckpt, state)
                 if start_epoch >= epochs:
-                    params, batch_stats = state.params, state.batch_stats
+                    # best-val-PSNR params, not 'latest' — same reasoning as
+                    # fit_cascade's stage transitions (a late-schedule decline
+                    # would poison later stages' conditioning)
+                    params, batch_stats = self._carry_best(
+                        stage_ckpt, state.params, state.batch_stats)
                     meta = getattr(stage_ckpt, "_best", {})
                     last = {"loss": meta.get("loss", 0.0), "psnr": meta.get("psnr", 0.0),
                             "ssim": meta.get("ssim", 0.0)}
@@ -584,8 +599,12 @@ class Trainer:
             last = self._run_epochs(state, train_step, eval_step, batch, start_epoch, epochs,
                                     lr, progress, phase=f"diffusion_{name}", ckpt=stage_ckpt,
                                     mesh=mesh, target_resolution=resolution)
-            params = self._last_state.params
-            batch_stats = self._last_state.batch_stats
+            # carry the BEST-val-PSNR params into the next stage's conditioning
+            # (mirrors fit_cascade._carry_best; the recorded r4 summary showed
+            # stage-2 final 19.92 vs best 21.01 dB — a final-epoch carry would
+            # hand later stages the declined params)
+            params, batch_stats = self._carry_best(
+                stage_ckpt, self._last_state.params, self._last_state.batch_stats)
 
         if chain_eval:
             # fully-generated cascaded sampling on one val batch: the honest
@@ -800,9 +819,19 @@ class Trainer:
                     # per-process-DISTINCT loader shards would assemble an
                     # inconsistent array and desync per-process metrics (and
                     # then the collective checkpoint barriers); drop it.
+                    if not getattr(self, "_warned_ragged_val", False):
+                        self._warned_ragged_val = True
+                        print(f"[trainer] dropping ragged multi-host val tail "
+                              f"(global batch {global_b} % data axis {n_data} != 0); "
+                              f"pad the val set or align batch sizes to eval every sample")
                     continue
                 batch = _arrays_only(shard_batch(batch, bsh))
                 vals.append(eval_step(state.params, state.batch_stats, batch))
+            if not vals and len(self.val_ds) > 0 and not getattr(self, "_warned_empty_val", False):
+                self._warned_empty_val = True
+                print("[trainer] WARNING: every val batch was dropped (ragged multi-host "
+                      "tails) — val metrics fall back to 0.0 and best-checkpoint "
+                      "selection is degraded; align val size to the data axis")
             val = {k: float(jnp.mean(jnp.stack([v[k] for v in vals]))) for k in vals[0]} if vals else {}
             dt = time.time() - t0
             metrics = {"loss": val.get("loss", train_loss), "psnr": val.get("psnr", 0.0),

@@ -1,5 +1,6 @@
 """L5 observability: CSV/JSONL metric logs, param counting, profiling."""
 
+from .cache import setup_compile_cache
 from .logging import CSVLogger, JSONLLogger
 from .summary import count_parameters, print_model_summary
 from .viz import (
@@ -11,6 +12,7 @@ from .viz import (
 )
 
 __all__ = [
+    "setup_compile_cache",
     "CSVLogger",
     "JSONLLogger",
     "count_parameters",

@@ -146,3 +146,71 @@ class TestLoader:
                                  num_prefetch=0)
             seen += [i for b in dl for i in b["patient_id"]]
         assert sorted(seen) == sorted(x["patient_id"] for x in (ds[i] for i in range(8)))
+
+
+@pytest.mark.slow
+class TestReferenceTreeRehearsal:
+    def test_reference_tree_discovery_decode_batch(self, tmp_path):
+        """Dress rehearsal of the REAL data contract (utils/dataset.py:
+        94-159, 199-229): write_reference_tree materializes phantoms as
+        `<pid>/{<pid>_pa_drr.png, <pid>_lat_drr.png, <pid>.nii.gz}` and the
+        full pipeline — folder discovery → NIfTI (gzip) decode (native C++
+        when built, pure-Python fallback otherwise) → HU soft-tissue window
+        → host resize → seeded split → prefetched batches — runs on it."""
+        from hybrid_vit_cascade_tpu.data import (DataLoader, PatientDRRDataset,
+                                                 create_train_val_datasets, native_io)
+        from hybrid_vit_cascade_tpu.data.synthetic import (make_phantom_volume,
+                                                           render_drr_pair,
+                                                           window_volume,
+                                                           write_reference_tree)
+
+        pids = write_reference_tree(tmp_path, num_patients=4, base_size=48, xray_size=64)
+        assert pids == [f"patient{i:03d}" for i in range(4)]
+
+        ds = PatientDRRDataset(str(tmp_path), target_xray_size=64,
+                               target_volume_size=(32, 32, 32),
+                               normalization="soft_tissue", validate_alignment=True)
+        assert len(ds) == 4
+        item = ds[0]
+        # volume decoded + windowed to [-1, 1]; DRRs follow the preset's
+        # normalize_range too ([-1, 1] for soft_tissue — dataset.py:118-121)
+        assert item["ct_volume"].shape == (1, 32, 32, 32)
+        assert -1.0 <= item["ct_volume"].min() and item["ct_volume"].max() <= 1.0
+        assert item["ct_volume"].max() > 0.5, "bone should saturate the window"
+        assert item["drr_stacked"].shape == (2, 1, 64, 64)
+        assert -1.0 <= item["drr_stacked"].min() and item["drr_stacked"].max() <= 1.0
+        assert item["drr_stacked"].min() < -0.5, "air background maps to the range floor" 
+        # the on-disk round trip must reproduce the in-memory phantom: decode
+        # + window + resize vs direct generation (PNG 8-bit quantization and
+        # resize are the only differences)
+        hu = make_phantom_volume(48, seed=0)
+        from hybrid_vit_cascade_tpu.ops.resize import resize_trilinear_np
+
+        # the real path resizes in HU then windows (utils/dataset.py:219-229)
+        want = window_volume(resize_trilinear_np(hu, (32, 32, 32)), "soft_tissue")
+        np.testing.assert_allclose(item["ct_volume"][0], want, atol=2e-3)
+        drr_want = render_drr_pair(window_volume(hu, "soft_tissue"), 64) * 2.0 - 1.0
+        np.testing.assert_allclose(item["drr_stacked"], drr_want, atol=2 * 2.0 / 255.0)
+        # alignment validation ran (max-projection MSE, utils/dataset.py:233-283)
+        assert ds.alignment_stats["total"] >= 1
+
+        # seeded split + prefetched loader over the tree
+        tr, va, te = create_train_val_datasets(ds, 0.5, 0.25, seed=42)
+        assert len(tr) + len(va) + len(te) == 4
+        batches = list(DataLoader(tr, batch_size=2, shuffle=True, seed=0, num_prefetch=1))
+        assert batches and batches[0]["ct_volume"].shape == (2, 1, 32, 32, 32)
+
+    def test_reference_tree_native_decode_matches_python(self, tmp_path):
+        """The C++ NIfTI decode must agree with the pure-Python codec on the
+        rehearsal tree's gzipped files."""
+        from hybrid_vit_cascade_tpu.data import native_io
+        from hybrid_vit_cascade_tpu.data.nifti import read_nifti
+        from hybrid_vit_cascade_tpu.data.synthetic import write_reference_tree
+
+        if not native_io.available():
+            pytest.skip("native .so not built")
+        write_reference_tree(tmp_path, num_patients=1, base_size=32, xray_size=32)
+        p = str(tmp_path / "patient000" / "patient000.nii.gz")
+        nat = native_io.read_nifti(p)
+        assert nat is not None
+        np.testing.assert_allclose(nat, read_nifti(p), atol=0)

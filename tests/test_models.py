@@ -211,3 +211,47 @@ class TestDiffusion:
         out = m.apply(v, x0, xr, "stage1_low", jax.random.PRNGKey(1))
         assert set(out) == {"loss", "diffusion_loss", "physics_loss"}
         assert np.isfinite(float(out["loss"]))
+
+    def test_depth_lifter_streamed_matches_dense(self, rng):
+        """lift_slabs depth-streaming: identical params, fwd within fp32
+        noise of the dense fusion path, matching grads (the two-pass GN +
+        halo scheme of depth_lifting._fused_streamed)."""
+        from hybrid_vit_cascade_tpu.models.depth_lifting import CascadedDepthLifting
+
+        D, H, W, C = 16, 8, 8, 32
+        feats = jnp.asarray(rng.standard_normal((2, H, W, C)), jnp.float32)
+        prev = jnp.asarray(rng.standard_normal((2, 8, H, W, 1)), jnp.float32)
+        dense = CascadedDepthLifting(feature_dim=C, depth_sizes=(8, 16), lift_slabs=0)
+        streamed = CascadedDepthLifting(feature_dim=C, depth_sizes=(8, 16), lift_slabs=4)
+        v = dense.init(KEY, feats, D, prev)
+        assert jax.tree_util.tree_structure(
+            streamed.init(KEY, feats, D, prev)) == jax.tree_util.tree_structure(v)
+        want = dense.apply(v, feats, D, prev)
+        got = streamed.apply(v, feats, D, prev)
+        assert want.shape == got.shape == (2, D, H, W, C)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+        def loss(vs, mod):
+            return jnp.sum(mod.apply(vs, feats, D, prev) ** 2)
+
+        gd = jax.grad(lambda vs: loss(vs, dense))(v)
+        gs = jax.grad(lambda vs: loss(vs, streamed))(v)
+        for (pa, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(gd),
+                                   jax.tree_util.tree_leaves_with_path(gs)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-4, rtol=5e-3,
+                                       err_msg=str(pa))
+
+    def test_depth_lifter_streamed_one_channel_prev_equals_broadcast(self, rng):
+        """The lazily-broadcast 1-channel prev equals the pre-broadcast
+        C-channel prev (trilinear resize is per-channel)."""
+        from hybrid_vit_cascade_tpu.models.depth_lifting import CascadedDepthLifting
+
+        D, H, W, C = 8, 4, 4, 32
+        feats = jnp.asarray(rng.standard_normal((1, H, W, C)), jnp.float32)
+        prev1 = jnp.asarray(rng.standard_normal((1, 4, H, W, 1)), jnp.float32)
+        prevC = jnp.broadcast_to(prev1, prev1.shape[:-1] + (C,))
+        mod = CascadedDepthLifting(feature_dim=C, depth_sizes=(4, 8))
+        v = mod.init(KEY, feats, D, prev1)
+        a = mod.apply(v, feats, D, prev1)
+        b = mod.apply(v, feats, D, prevC)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
