@@ -255,3 +255,26 @@ class TestDiffusion:
         a = mod.apply(v, feats, D, prev1)
         b = mod.apply(v, feats, D, prevC)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_unified_refiner_lift_slabs_matches_dense(self, rng):
+        """lift_slabs plumbing through the full ladder: a refiner stage's
+        diffusion loss with the streamed lifter equals the dense one."""
+        cfgs = (
+            dict(name="s1", volume_size=(16, 16, 16), voxel_dim=32, vit_depth=1, num_heads=4,
+                 use_depth_lifting=True, use_physics_loss=False),
+            dict(name="s2", volume_size=(32, 32, 32), voxel_dim=32, vit_depth=1, num_heads=4,
+                 use_depth_lifting=True, use_physics_loss=False),
+        )
+        x0 = jnp.asarray(rng.standard_normal((1, 1, 32, 32, 32)) * 0.3, jnp.float32)
+        prev = jnp.asarray(rng.standard_normal((1, 1, 16, 16, 16)) * 0.3, jnp.float32)
+        xr = _xrays(1, 64)
+        outs = {}
+        for slabs in (0, 4):
+            m = models.UnifiedHybridViTCascade(
+                stage_configs=cfgs, xray_embed_dim=32, num_timesteps=10, lift_slabs=slabs)
+            v = m.init(KEY, x0, xr, "s2", KEY, prev_stage_volume=prev)
+            outs[slabs] = (v, m.apply(v, x0, xr, "s2", jax.random.PRNGKey(3),
+                                      prev_stage_volume=prev))
+        assert jax.tree_util.tree_structure(outs[0][0]) == jax.tree_util.tree_structure(outs[4][0])
+        np.testing.assert_allclose(float(outs[4][1]["loss"]), float(outs[0][1]["loss"]),
+                                   rtol=1e-4)
