@@ -62,6 +62,7 @@ def cmd_train(args):
 
 
 def cmd_infer(args):
+    from .config import data_volume_size
     from .inference import InferenceEngine
     from .data import SyntheticCTDataset, PatientDRRDataset
 
@@ -87,10 +88,12 @@ def cmd_infer(args):
         return
     if args.synthetic or cfg.data.synthetic:
         ds = SyntheticCTDataset(num_patients=max(1, args.index + 1),
-                               volume_size=tuple(cfg.model.volume_size), xray_size=cfg.data.xray_size)
+                               volume_size=data_volume_size(cfg), xray_size=cfg.data.xray_size)
     else:
         ds = PatientDRRDataset(args.data_path or cfg.data.dataset_path,
-                               target_xray_size=cfg.data.xray_size)
+                               target_xray_size=cfg.data.xray_size,
+                               target_volume_size=data_volume_size(cfg),
+                               normalization=cfg.data.normalization)
     item = ds[args.index]
     upscale = tuple(int(x) for x in args.upscale.split(",")) if args.upscale else None
     paths = engine.export(item["drr_stacked"][None], args.output, prefix=item["patient_id"],
@@ -101,6 +104,7 @@ def cmd_infer(args):
 
 
 def cmd_eval(args):
+    from .config import data_volume_size
     from .inference import InferenceEngine
     from .data import SyntheticCTDataset, PatientDRRDataset, create_train_val_datasets
 
@@ -108,9 +112,12 @@ def cmd_eval(args):
     cfg = engine.cfg
     if args.synthetic or cfg.data.synthetic:
         ds = SyntheticCTDataset(num_patients=cfg.data.synthetic_patients,
-                                volume_size=tuple(cfg.model.volume_size), xray_size=cfg.data.xray_size)
+                                volume_size=data_volume_size(cfg), xray_size=cfg.data.xray_size)
     else:
-        ds = PatientDRRDataset(args.data_path or cfg.data.dataset_path, target_xray_size=cfg.data.xray_size)
+        ds = PatientDRRDataset(args.data_path or cfg.data.dataset_path,
+                               target_xray_size=cfg.data.xray_size,
+                               target_volume_size=data_volume_size(cfg),
+                               normalization=cfg.data.normalization)
     _, _, test = create_train_val_datasets(ds, cfg.data.train_split, cfg.data.val_split,
                                            split_mode=cfg.data.split_mode)
     if len(test) == 0:
@@ -123,6 +130,7 @@ def cmd_diagnose(args):
     """Health-grade one reconstruction via the diagnostic-loss suite with
     live cross-attention capture (diagnostic_losses.py:534-636 interpretation
     surface, reachable from any checkpoint)."""
+    from .config import data_volume_size
     from .data import PatientDRRDataset, SyntheticCTDataset
     from .inference import InferenceEngine
 
@@ -130,10 +138,12 @@ def cmd_diagnose(args):
     cfg = engine.cfg
     if args.synthetic or cfg.data.synthetic:
         ds = SyntheticCTDataset(num_patients=max(1, args.index + 1),
-                                volume_size=tuple(cfg.model.volume_size), xray_size=cfg.data.xray_size)
+                                volume_size=data_volume_size(cfg), xray_size=cfg.data.xray_size)
     else:
         ds = PatientDRRDataset(args.data_path or cfg.data.dataset_path,
-                               target_xray_size=cfg.data.xray_size)
+                               target_xray_size=cfg.data.xray_size,
+                               target_volume_size=data_volume_size(cfg),
+                               normalization=cfg.data.normalization)
     report = engine.diagnose(ds[args.index], max_stage=args.stage)
     text = json.dumps(report, indent=2)
     if args.output:

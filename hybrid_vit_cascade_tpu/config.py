@@ -261,3 +261,24 @@ def validate_config(cfg: Config) -> None:
                 raise ValueError(f"cascade training requires stages stage1..3; missing {name}")
     if not cfg.data.synthetic and not cfg.data.dataset_path:
         raise ValueError("data.dataset_path required unless data.synthetic=true")
+
+
+def data_volume_size(cfg: Config) -> Tuple[int, int, int]:
+    """Dataset target volume size for a config: the TOP resolution any part
+    of the model trains/evals against. The cascade refines up to
+    stage_sizes[-1] and the direct128/256 families name theirs, so eval
+    targets must carry real high-resolution detail — evaluating stage 2/3
+    against up-resized 64³ volumes (what model.volume_size alone implies for
+    the cascade) silently inflates their metrics. One definition shared by
+    the trainer's dataset construction and the CLI eval/infer/diagnose
+    surfaces (ref: the trainer/eval resolution contract in
+    train_progressive_1gpu.py:267-304 vs inference_progressive.py:66-91)."""
+    m = cfg.model
+    if m.family == "cascade":
+        top = max(m.stage_sizes)
+        return (top, top, top)
+    if m.family.startswith("direct128"):
+        return (128, 128, 128)
+    if m.family.startswith("direct256"):
+        return (256, 256, 256)
+    return tuple(m.volume_size)

@@ -300,15 +300,10 @@ class Trainer:
 
     # --- data -------------------------------------------------------------
     def _build_data(self):
+        from ..config import data_volume_size
+
         d = self.cfg.data
-        target_size = tuple(self.cfg.model.volume_size)
-        if self.cfg.model.family == "cascade":
-            top = max(self.cfg.model.stage_sizes)
-            target_size = (top, top, top)
-        elif self.cfg.model.family.startswith("direct128"):
-            target_size = (128, 128, 128)
-        elif self.cfg.model.family.startswith("direct256"):
-            target_size = (256, 256, 256)
+        target_size = data_volume_size(self.cfg)
         if d.synthetic:
             ds = SyntheticCTDataset(
                 num_patients=d.synthetic_patients, volume_size=target_size, xray_size=d.xray_size,

@@ -52,3 +52,24 @@ def test_preset_round_trip(tmp_path):
         out.write_text(__import__("json").dumps(cfg.to_dict()))
         again = Config.from_json(str(out))
         assert again.to_dict() == cfg.to_dict(), path.stem
+
+
+def test_data_volume_size_top_resolution():
+    """Eval/infer datasets must be built at the TOP resolution a family
+    trains against — the cascade's stage-2/3 metrics were previously
+    computed against up-resized 64³ targets via `hvc eval` (r5 fix; one
+    definition now shared by Trainer._build_data and the CLI surfaces)."""
+    from hybrid_vit_cascade_tpu.config import data_volume_size
+
+    cfg = Config()
+    cfg.model.family = "cascade"
+    cfg.model.volume_size = (64, 64, 64)
+    assert data_volume_size(cfg) == (256, 256, 256)
+    cfg.model.stage_sizes = (32, 64, 128)
+    assert data_volume_size(cfg) == (128, 128, 128)
+    cfg.model.family = "direct128_h200"
+    assert data_volume_size(cfg) == (128, 128, 128)
+    cfg.model.family = "direct256_b200"
+    assert data_volume_size(cfg) == (256, 256, 256)
+    cfg.model.family = "direct_vit"
+    assert data_volume_size(cfg) == (64, 64, 64)
