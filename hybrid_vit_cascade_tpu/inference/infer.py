@@ -111,7 +111,11 @@ def inspect_checkpoint(ckpt_dir: str) -> Dict:
 class InferenceEngine:
     """Load a checkpoint (+ embedded config) and reconstruct volumes."""
 
-    def __init__(self, checkpoint_dir: str, config: Optional[Config] = None):
+    def __init__(self, checkpoint_dir: str, config: Optional[Config] = None,
+                 max_stage: int = 3):
+        """max_stage (cascade only): restore template depth — pass 2 to load
+        a stage-pruned checkpoint (e.g. the committed eval-reproduction
+        artifact, which drops the stage3 subtree) and evaluate stages ≤2."""
         from ..utils import setup_compile_cache
 
         setup_compile_cache()  # 256³ serving program: minutes cold, s cached
@@ -124,10 +128,11 @@ class InferenceEngine:
             config = Config.from_dict(meta.get("config", {}))
         self.cfg = config
         self.model = build_model(config)
+        self.max_stage = max_stage
 
         # template init to restore into
         xr_shape = (1, 2, 1, config.data.xray_size, config.data.xray_size)
-        kw = {"max_stage": 3} if config.model.family == "cascade" else {}
+        kw = {"max_stage": max_stage} if config.model.family == "cascade" else {}
         template = jax.eval_shape(
             lambda: self.model.init(jax.random.PRNGKey(0), jnp.zeros(xr_shape, jnp.float32), **kw)
         )
