@@ -33,3 +33,21 @@ def test_cascade_refinement_monotonic():
     # sanity: the run is a real full schedule, not a truncated rerun
     assert s["stage1"]["epochs"] == 50 and s["stage2"]["epochs"] == 30
     assert s["stage3"]["epochs"] == 20
+
+
+SUMMARY_R5 = Path(__file__).resolve().parent.parent / "docs" / "quality_r5" / "summary.json"
+
+
+@pytest.mark.skipif(not SUMMARY_R5.exists(), reason="quality_r5 artifacts not present")
+def test_cascade_refinement_decisive_r5():
+    """Round-5 bars (round-4 VERDICT item 2): the refinement must be DECISIVE,
+    not noise-level — stage-2 must beat stage-1 by a margin comparable to the
+    reference's measured +0.50 dB (QUALITY_IMPROVEMENT.md:5), and stage-3 must
+    IMPROVE on stage-2 (r4 recorded it 0.43 dB below; the r5 schedule fixes
+    the stage-3 DRR-loss range bias + rebalances freq/tv and LR)."""
+    s = json.loads(SUMMARY_R5.read_text())["stages"]
+    p1 = s["stage1"]["best_psnr"]
+    p2 = s["stage2"]["best_psnr"]
+    p3 = s["stage3"]["best_psnr"]
+    assert p2 >= p1 + 0.3, f"stage2 ({p2:.2f} dB) must beat stage1 ({p1:.2f} dB) by >= 0.3 dB"
+    assert p3 >= p2, f"stage3 ({p3:.2f} dB) must improve on stage2 ({p2:.2f} dB)"
